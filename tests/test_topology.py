@@ -1,0 +1,80 @@
+"""Structural tests for the Chimera/Pegasus/Zephyr generators."""
+
+import collections
+
+import networkx as nx
+import pytest
+
+from image_generation_tpu.utils.topology import (
+    QPU_TOPOLOGIES,
+    chimera_graph,
+    graph_for_qpu,
+    graph_layout,
+    pegasus_graph,
+    zephyr_graph,
+)
+
+
+def test_chimera_counts():
+    g = chimera_graph(16)
+    # C(16,16,4): 2048 qubits; 16 intra-cell + external couplers
+    assert g.number_of_nodes() == 2048
+    assert g.number_of_edges() == 16 * 16 * 16 + 2 * 4 * 16 * 15
+    assert max(dict(g.degree()).values()) == 6
+
+
+def test_pegasus_p16_matches_advantage_fabric():
+    g = pegasus_graph(16)
+    # Published ideal Advantage (P16) fabric: 5640 qubits, 40484 couplers.
+    assert g.number_of_nodes() == 5640
+    assert g.number_of_edges() == 40484
+    assert nx.is_connected(g)
+    assert max(dict(g.degree()).values()) == 15
+
+
+def test_pegasus_interior_degree_is_15():
+    g = pegasus_graph(8)
+    hist = collections.Counter(dict(g.degree()).values())
+    # the bulk of qubits must have the full 12 internal + 2 external + 1 odd
+    # (boundary fraction shrinks with m: 59% at P8, 79% at P16)
+    assert hist[15] > 0.55 * g.number_of_nodes()
+    assert max(hist) == 15
+
+
+def test_zephyr_z15_matches_advantage2_scale():
+    g = zephyr_graph(15)
+    assert g.number_of_nodes() == 7440  # 16·m·(2m+1)
+    assert nx.is_connected(g)
+    assert max(dict(g.degree()).values()) == 20
+
+
+def test_zephyr_interior_degree_is_20():
+    g = zephyr_graph(6)
+    hist = collections.Counter(dict(g.degree()).values())
+    assert hist[20] > 0.5 * g.number_of_nodes()
+
+
+@pytest.mark.parametrize("qpu", list(QPU_TOPOLOGIES))
+def test_graph_for_qpu_known_names(qpu):
+    family, size = QPU_TOPOLOGIES[qpu]
+    if size > 8:  # keep test time down: shrink big graphs
+        g = graph_for_qpu(qpu, size=4 if family != "zephyr" else 3)
+    else:
+        g = graph_for_qpu(qpu)
+    assert g.graph["family"] == family
+    assert g.number_of_nodes() > 0
+
+
+def test_graph_for_qpu_unknown_falls_back_to_zephyr():
+    g = graph_for_qpu("No Leap Access", size=3)
+    assert g.graph["family"] == "zephyr"
+
+
+def test_layout_normalized():
+    g = zephyr_graph(3)
+    pos = graph_layout(g)
+    assert len(pos) == g.number_of_nodes()
+    xs = [p[0] for p in pos.values()]
+    ys = [p[1] for p in pos.values()]
+    assert 0.0 <= min(xs) and max(xs) <= 1.0
+    assert 0.0 <= min(ys) and max(ys) <= 1.0
