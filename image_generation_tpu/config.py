@@ -1,0 +1,79 @@
+"""Training configuration: the reference's YAML schema as one dataclass.
+
+Mirrors ``src/training_parameters.yaml`` (reference values as defaults) plus
+the sampler settings that replace the annealer.  YAML round-trip keeps the
+reference's UPPERCASE key names so existing parameter files load unchanged
+(reference loads them via ``ModelWrapper.__getattr__``,
+src/model_wrapper.py:137-146).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+import yaml
+
+__all__ = ["TrainingConfig"]
+
+
+@dataclass
+class TrainingConfig:
+    # --- reference training_parameters.yaml keys (same defaults) ---
+    ANNEALING_TIME: float = 1.0  # kept for config parity; unused by Gibbs
+    NUM_READS: int = 256
+    IMAGE_SIZE: int = 32
+    DATASET_SIZE: Optional[int] = None
+    BATCH_SIZE: int = 128
+    RANDOM_SEED: int = 775321899904
+    LOSS_FUNCTION: str = "mmd"
+    N_REPLICAS: int = 8
+    LATENT_TO_DISCRETE: Optional[str] = None  # None | "heaviside"
+    PREFACTOR: float = 0.05
+    MAX_DEQUE_SIZE: int = 4096
+    ITERATIONS_BEFORE_RESAMPLING: int = 100
+    AUTOENCODER_INITIAL_LR: float = 1e-4
+    AUTOENCODER_FINAL_LR: float = 1e-5
+    AUTOENCODER_WEIGHT_DECAY: float = 0.01
+    BM_INITIAL_LR: float = 1e-3
+    BM_FINAL_LR: float = 1e-4
+    BM_WEIGHT_DECAY: float = 0.01
+
+    # --- sampler settings (annealer replacement; new in this framework) ---
+    SAMPLER: str = "gibbs"  # "gibbs" | "pt" | "exact" (tests, n<=20)
+    GIBBS_SWEEPS: int = 16  # sweeps per negative-phase refresh
+    GIBBS_BURN_IN: int = 64  # extra sweeps when (re)initializing chains
+    PERSISTENT_CHAINS: bool = True  # PCD: carry chain state across steps
+    PT_NUM_BETAS: int = 8  # parallel-tempering ladder size (SAMPLER="pt")
+    PT_BETA_MIN: float = 0.25
+    N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
+
+    # --- model/problem shape (reference passes these via ModelWrapper args) ---
+    QPU: str = "Advantage2_system1"
+    N_LATENTS: int = 256
+
+    # hardware parameter ranges used when clipping the sampled model.
+    # The reference reads these from live solver properties
+    # (src/utils/common.py:129); these are the production Advantage ranges.
+    H_RANGE: tuple = (-4.0, 4.0)
+    J_RANGE: tuple = (-1.0, 1.0)
+
+    @classmethod
+    def from_yaml(cls, path, **overrides) -> "TrainingConfig":
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in known}
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
+    def to_yaml(self, path) -> None:
+        d = dataclasses.asdict(self)
+        d["H_RANGE"] = list(self.H_RANGE)
+        d["J_RANGE"] = list(self.J_RANGE)
+        Path(path).write_text(yaml.safe_dump(d, sort_keys=False))
+
+    def replace(self, **kw) -> "TrainingConfig":
+        return dataclasses.replace(self, **kw)

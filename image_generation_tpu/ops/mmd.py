@@ -1,0 +1,97 @@
+"""Maximum Mean Discrepancy with a Gaussian (RBF) mixture kernel.
+
+TPU-native replacement for ``dwave.plugins.torch.nn.functional.
+maximum_mean_discrepancy_loss`` + ``GaussianKernel`` as consumed by the
+reference (call site: src/model_wrapper.py:318-320 with
+``GaussianKernel(n_kernels=7)``, src/model_wrapper.py:273).  The kernel is
+the mixture described in the reference README ("a mixture of radial basis
+kernels … γ_u = 2^w for w ∈ {−d/2, …, d/2}"): bandwidths are a data-adaptive
+base bandwidth (mean pairwise squared distance of the joint sample, treated
+as a constant wrt gradients) scaled by powers of 2 centered on 1.
+
+The whole computation is three MXU matmuls (the pairwise-distance Gram
+blocks) plus elementwise exps — it fuses into the training step under jit.
+
+Estimator: the biased (V-statistic) MMD²,
+  mean(K_xx) + mean(K_yy) − 2·mean(K_xy),
+differentiable wrt ``x`` (the encoded spins); ``y`` (the sampler draws) is
+a constant at the call site (reference samples under ``torch.no_grad()``,
+src/model_wrapper.py:307-316).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["GaussianKernel", "mmd_loss", "pairwise_sq_dists"]
+
+
+def pairwise_sq_dists(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Squared Euclidean distances ‖x_i − y_j‖², shape (nx, ny).
+
+    Computed via the Gram expansion so the inner product rides the MXU.
+    """
+    xx = jnp.sum(x * x, axis=-1)
+    yy = jnp.sum(y * y, axis=-1)
+    xy = x @ y.T
+    d2 = xx[:, None] + yy[None, :] - 2.0 * xy
+    return jnp.maximum(d2, 0.0)
+
+
+class GaussianKernel:
+    """RBF mixture kernel k(d²) = Σ_u exp(−d² / σ²_u), σ²_u = σ²_0 · 2^w.
+
+    ``w`` ranges over the ``n_kernels`` integers centered on 0
+    (w ∈ {−(d−1)/2 … (d−1)/2} for odd d — n_kernels=7 gives −3…3, matching
+    the reference README's γ_u = 2^w, w ∈ {−d/2,…,d/2}).  The base bandwidth
+    σ²_0 is ``bandwidth`` if given, else the mean pairwise squared distance
+    of the joint sample (median-heuristic family), stop-gradiented.
+    """
+
+    def __init__(
+        self,
+        n_kernels: int = 7,
+        multiplier: float = 2.0,
+        bandwidth: Optional[float] = None,
+    ):
+        self.n_kernels = n_kernels
+        self.multiplier = multiplier
+        self.bandwidth = bandwidth
+        self.exponents = jnp.arange(n_kernels, dtype=jnp.float32) - (n_kernels - 1) / 2.0
+
+    def base_bandwidth(self, d2: jax.Array) -> jax.Array:
+        if self.bandwidth is not None:
+            return jnp.asarray(self.bandwidth, d2.dtype)
+        n = d2.shape[0]
+        mean_d2 = jnp.sum(d2) / max(n * n - n, 1)  # diagonal is 0: sum unaffected
+        return jax.lax.stop_gradient(jnp.maximum(mean_d2, 1e-12))
+
+    def __call__(self, d2: jax.Array, base: Optional[jax.Array] = None) -> jax.Array:
+        if base is None:
+            base = self.base_bandwidth(d2)
+        sigmas = base * jnp.power(self.multiplier, self.exponents)  # (n_kernels,)
+        return jnp.sum(jnp.exp(-d2[..., None] / sigmas), axis=-1)
+
+
+def mmd_loss(x: jax.Array, y: jax.Array, kernel: Optional[GaussianKernel] = None) -> jax.Array:
+    """Biased MMD² between samples x (nx, d) and y (ny, d).
+
+    Matches the reference call ``maximum_mean_discrepancy_loss(x=spins,
+    y=samples, kernel=GaussianKernel(7))`` (src/model_wrapper.py:318-320):
+    one shared adaptive bandwidth computed from the joint sample.
+    """
+    if kernel is None:
+        kernel = GaussianKernel()
+    z = jnp.concatenate([x, y], axis=0)
+    d2 = pairwise_sq_dists(z, z)
+    base = kernel.base_bandwidth(d2)
+    k = kernel(d2, base)
+    nx = x.shape[0]
+    k_xx = k[:nx, :nx]
+    k_yy = k[nx:, nx:]
+    k_xy = k[:nx, nx:]
+    return jnp.mean(k_xx) + jnp.mean(k_yy) - 2.0 * jnp.mean(k_xy)

@@ -1,0 +1,247 @@
+"""The fused DVAE+GRBM training step — one XLA program per batch.
+
+Reproduces the semantics of the reference's ``ModelWrapper.step``
+(src/model_wrapper.py:279-353) with the annealer round-trips replaced by
+on-device persistent Gibbs chains:
+
+  1. DVAE forward with R replicas (BatchNorm batch stats, Dropout2d,
+     stochastic straight-through spins);
+  2. MSE between the reconstruction and the R-times-repeated batch;
+  3. negative phase #1: refresh the persistent chains under the current
+     prefactor-scaled/clipped GRBM (the per-batch ``grbm.sample`` call,
+     src/model_wrapper.py:308-316);
+  4. MMD between the (B·R, n) encoded spins and the chain samples; backward
+     through MSE+MMD and a torch-Adam(+L2) update of the DVAE;
+  5. on scheduled steps (epoch < 6 and step % 10 == 0 — the reference's
+     ``train_grbm`` schedule, src/model_wrapper.py:59-67): negative phase #2
+     (the reference's second QPU call inside ``nll_loss``) and a closed-form
+     moment-matching NLL update of the GRBM under ``lax.cond`` (so unscheduled
+     steps skip the cost *and* keep Adam's step count/bias correction frozen,
+     exactly like the reference only calling ``optimizer.step()`` then);
+  6. LR schedules: geomspace with the reference's one-step lag, applied by
+     explicit scaling (both LR tables advance every step even when the GRBM
+     does not update — matching src/model_wrapper.py:346-351).
+
+Persistent chains fix the reference's dead sample cache
+(``PersistentQPUSampleHelper`` resets itself every call,
+src/utils/persistent_qpu_sampler.py:61-63) with actual persistence: PCD
+chains never reset during a run, so negative-phase quality *improves* over
+naive restarts while costing a fraction of the sweeps.
+
+``train_epoch`` scans the step over a whole epoch of batches so the host
+never intervenes — the TPU runs 468 fused steps back to back.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from image_generation_tpu.config import TrainingConfig
+from image_generation_tpu.models.dvae import DVAE
+from image_generation_tpu.models.grbm import (
+    GRBMGraph,
+    GRBMParams,
+    nll_grads,
+    nll_value,
+    scaled_ising,
+)
+from image_generation_tpu.ops.gibbs import GibbsPlan, build_plan, gibbs_sweeps
+from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
+from image_generation_tpu.training.schedules import geomspace_lr
+
+__all__ = ["TrainState", "TrainStepFns", "make_train_fns"]
+
+
+@struct.dataclass
+class TrainState:
+    dvae_params: dict
+    batch_stats: dict
+    grbm_params: GRBMParams
+    dvae_opt: optax.OptState
+    grbm_opt: optax.OptState
+    chains: jax.Array  # (NUM_READS, n) persistent Gibbs chains (±1)
+    opt_step: jax.Array  # int32 global step counter
+    rng: jax.Array  # PRNG key threaded through steps
+
+
+@struct.dataclass
+class StepMetrics:
+    mse: jax.Array
+    mmd: jax.Array
+    dvae_loss: jax.Array
+    nll: jax.Array
+    grbm_trained: jax.Array
+
+
+class TrainStepFns:
+    """Bundle of jitted training functions bound to one (config, graph)."""
+
+    def __init__(self, config, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn):
+        self.config = config
+        self.graph = graph
+        self.dvae = dvae
+        self.init = init_fn
+        self.step = step_fn
+        self.epoch = epoch_fn
+        self.sample = sample_fn
+
+
+def make_train_fns(
+    cfg: TrainingConfig,
+    graph: GRBMGraph,
+    total_steps: int,
+    plan: Optional[GibbsPlan] = None,
+) -> TrainStepFns:
+    """Build init/step/epoch functions for a config + coupling graph.
+
+    ``total_steps`` = n_epochs · n_batches, fixing the LR schedules
+    (reference: src/model_wrapper.py:263-268).
+    """
+    if plan is None:
+        plan = build_plan(graph)
+    dvae = DVAE(n_latents=cfg.N_LATENTS, latent_to_discrete=cfg.LATENT_TO_DISCRETE)
+    kernel = GaussianKernel(n_kernels=cfg.N_KERNELS)
+    dvae_lr = geomspace_lr(cfg.AUTOENCODER_INITIAL_LR, cfg.AUTOENCODER_FINAL_LR, total_steps)
+    grbm_lr = geomspace_lr(cfg.BM_INITIAL_LR, cfg.BM_FINAL_LR, total_steps)
+
+    # torch.optim.Adam(lr, weight_decay) ≡ L2-into-grad then Adam moments;
+    # LR applied explicitly per step so the schedule indexing is exact.
+    dvae_tx = optax.chain(
+        optax.add_decayed_weights(cfg.AUTOENCODER_WEIGHT_DECAY), optax.scale_by_adam()
+    )
+    grbm_tx = optax.chain(
+        optax.add_decayed_weights(cfg.BM_WEIGHT_DECAY), optax.scale_by_adam()
+    )
+
+    def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
+        h, j = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
+        coupling = graph.coupling_matrix(j)
+        return gibbs_sweeps(key, h, coupling, plan, chains, n_sweeps)
+
+    def init_fn(key: jax.Array, sample_image: jax.Array) -> TrainState:
+        """sample_image: (1, S, S, 1) used only for shape-correct init."""
+        k_dvae, k_grbm, k_chains, k_burn, k_rng = jax.random.split(key, 5)
+        variables = dvae.init(
+            {"params": k_dvae, "spins": k_chains, "dropout": k_burn},
+            sample_image,
+            n_replicas=cfg.N_REPLICAS if cfg.LATENT_TO_DISCRETE is None else 1,
+            train=False,
+        )
+        grbm_params = graph.init_params(k_grbm)
+        chains = (
+            2.0 * jax.random.bernoulli(k_chains, 0.5, (cfg.NUM_READS, graph.n)).astype(jnp.float32)
+            - 1.0
+        )
+        chains = refresh_chains(k_burn, grbm_params, chains, cfg.GIBBS_BURN_IN)
+        return TrainState(
+            dvae_params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            grbm_params=grbm_params,
+            dvae_opt=dvae_tx.init(variables["params"]),
+            grbm_opt=grbm_tx.init(grbm_params),
+            chains=chains,
+            opt_step=jnp.asarray(0, jnp.int32),
+            rng=k_rng,
+        )
+
+    def step_body(state: TrainState, images: jax.Array, epoch: jax.Array):
+        rng, k_spins, k_drop, k_neg1, k_neg2 = jax.random.split(state.rng, 5)
+
+        # ---- negative phase #1 (the per-batch sampler call) ----
+        chains = refresh_chains(k_neg1, state.grbm_params, state.chains, cfg.GIBBS_SWEEPS)
+        samples = jax.lax.stop_gradient(chains)
+
+        # ---- DVAE forward + MSE + MMD, backward ----
+        def loss_fn(dvae_params):
+            (logits, spins, recon), mutated = dvae.apply(
+                {"params": dvae_params, "batch_stats": state.batch_stats},
+                images,
+                n_replicas=cfg.N_REPLICAS,
+                train=True,
+                rngs={"spins": k_spins, "dropout": k_drop},
+                mutable=["batch_stats"],
+            )
+            target = jnp.broadcast_to(images[:, None], recon.shape)
+            mse = jnp.mean(jnp.square(recon - target))
+            flat_spins = spins.reshape(-1, spins.shape[-1])
+            mmd = mmd_loss(flat_spins, samples, kernel)
+            loss = mse + mmd
+            return loss, (mse, mmd, flat_spins, mutated["batch_stats"])
+
+        (dvae_loss, (mse, mmd, flat_spins, batch_stats)), dvae_grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.dvae_params)
+
+        lr_d = dvae_lr(state.opt_step)
+        dvae_updates, dvae_opt = dvae_tx.update(dvae_grads, state.dvae_opt, state.dvae_params)
+        dvae_params = jax.tree.map(lambda p, u: p - lr_d * u, state.dvae_params, dvae_updates)
+
+        # ---- scheduled GRBM update (reference train_grbm schedule) ----
+        train_grbm = jnp.logical_and(epoch < 6, state.opt_step % 10 == 0)
+        data_spins = jax.lax.stop_gradient(flat_spins)
+
+        def grbm_branch(op):
+            grbm_params, grbm_opt, chains_in = op
+            # negative phase #2 — the reference's second QPU call per
+            # scheduled step (inside nll_loss, src/losses.py:50-57)
+            chains2 = refresh_chains(k_neg2, grbm_params, chains_in, cfg.GIBBS_SWEEPS)
+            grads = nll_grads(graph, data_spins, chains2)
+            updates, opt2 = grbm_tx.update(grads, grbm_opt, grbm_params)
+            lr_g = grbm_lr(state.opt_step)
+            new_params = jax.tree.map(lambda p, u: p - lr_g * u, grbm_params, updates)
+            nll = nll_value(grbm_params, graph, data_spins, chains2)
+            return new_params, opt2, chains2, nll
+
+        def no_grbm(op):
+            grbm_params, grbm_opt, chains_in = op
+            return grbm_params, grbm_opt, chains_in, jnp.asarray(0.0, jnp.float32)
+
+        grbm_params, grbm_opt, chains, nll = jax.lax.cond(
+            train_grbm, grbm_branch, no_grbm, (state.grbm_params, state.grbm_opt, chains)
+        )
+
+        new_state = TrainState(
+            dvae_params=dvae_params,
+            batch_stats=batch_stats,
+            grbm_params=grbm_params,
+            dvae_opt=dvae_opt,
+            grbm_opt=grbm_opt,
+            chains=chains,
+            opt_step=state.opt_step + 1,
+            rng=rng,
+        )
+        metrics = StepMetrics(
+            mse=mse, mmd=mmd, dvae_loss=dvae_loss, nll=nll,
+            grbm_trained=train_grbm.astype(jnp.float32),
+        )
+        return new_state, metrics
+
+    @jax.jit
+    def step_fn(state: TrainState, images: jax.Array, epoch: jax.Array):
+        return step_body(state, images, epoch)
+
+    @jax.jit
+    def epoch_fn(state: TrainState, batches: jax.Array, epoch: jax.Array):
+        """Scan the step over (n_batches, B, S, S, 1) — one XLA dispatch."""
+
+        def body(s, imgs):
+            return step_body(s, imgs, epoch)
+
+        return jax.lax.scan(body, state, batches)
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def sample_fn(key: jax.Array, grbm_params: GRBMParams, num_reads: int, n_sweeps: int):
+        """Standalone sampler call for generation (grbm.sample equivalent)."""
+        k1, k2 = jax.random.split(key)
+        chains = (
+            2.0 * jax.random.bernoulli(k1, 0.5, (num_reads, graph.n)).astype(jnp.float32) - 1.0
+        )
+        return refresh_chains(k2, grbm_params, chains, n_sweeps)
+
+    return TrainStepFns(cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn)

@@ -1,0 +1,310 @@
+"""Trainer: the reference ``ModelWrapper`` equivalent, TPU-first inside.
+
+Same surface as the reference container (src/model_wrapper.py:110-491):
+construction from (qpu, n_latents) + parameter file, ``setup`` /
+``train_init(n_epochs)`` / ``step(batch, epoch)`` / ``save`` / ``load`` /
+``generate_output`` / ``generate_reconstructed_samples`` /
+``generate_loss_plot`` and a per-batch ``losses`` dict — but the inside is a
+fused jitted step (training/step.py) and a device-resident data pipeline, and
+``train_epoch`` runs a whole epoch as one ``lax.scan`` dispatch.
+
+The "Tune Parameters" flow (load a checkpoint, train more epochs, save under
+a new name — reference demo_callbacks.py:760-778) is ``load`` + ``train_init``
++ training: like the reference, tuning keeps loaded weights and rebuilds
+fresh optimizer state and schedules.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_generation_tpu.config import TrainingConfig
+from image_generation_tpu.io.checkpoint import (
+    load_model_dir,
+    make_parameters_json,
+    save_model_dir,
+)
+from image_generation_tpu.models.dvae import DVAE
+from image_generation_tpu.models.grbm import GRBMGraph
+from image_generation_tpu.ops.gibbs import build_plan
+from image_generation_tpu.training.step import TrainState, make_train_fns
+from image_generation_tpu.utils.data import get_dataset, permuted_epoch
+from image_generation_tpu.utils.grid import interleave, make_grid, sharpen
+from image_generation_tpu.utils.subgraph import select_latent_graph
+from image_generation_tpu.utils.topology import graph_for_qpu
+
+__all__ = ["Trainer", "TrainingError"]
+
+
+class TrainingError(Exception):
+    """Raised when stepping before initialization (reference parity,
+    src/model_wrapper.py:106-107, 289-290)."""
+
+
+class Trainer:
+    def __init__(
+        self,
+        qpu: str = "Advantage2_system1",
+        n_latents: Optional[int] = None,
+        training_parameter_file: Optional[str] = None,
+        config: Optional[TrainingConfig] = None,
+    ):
+        if config is None:
+            config = (
+                TrainingConfig.from_yaml(training_parameter_file)
+                if training_parameter_file
+                else TrainingConfig()
+            )
+        if n_latents is not None:
+            config = config.replace(N_LATENTS=n_latents)
+        config = config.replace(QPU=qpu)
+        self.config = config
+        self.qpu = qpu
+        self.n_latents = config.N_LATENTS
+
+        self.graph: Optional[GRBMGraph] = None
+        self.plan = None
+        self.fns = None
+        self.state: Optional[TrainState] = None
+        self.images = None
+        self.data_source = None
+        self.losses = {"mse_losses": [], "dvae_losses": []}
+        self._n_epochs = 0
+        self._init_done = False
+        self._key = jax.random.PRNGKey(config.RANDOM_SEED)
+
+    # ------------------------------------------------------------------
+    # setup / data
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def setup(self) -> None:
+        """Select the latent coupling graph for the configured QPU
+        (offline equivalent of src/model_wrapper.py:177-217)."""
+        cfg = self.config
+        if cfg.LATENT_TO_DISCRETE == "heaviside" and cfg.N_REPLICAS != 1:
+            raise ValueError("heaviside latent-to-discrete can only be used with n_replicas=1")
+        full = graph_for_qpu(self.qpu)
+        latent, _ = select_latent_graph(full, self.n_latents, cfg.RANDOM_SEED)
+        self.graph = GRBMGraph.from_networkx(latent)
+        self.plan = build_plan(self.graph)
+
+    def _load_dataset(self) -> None:
+        cfg = self.config
+        self.images, self.data_source = get_dataset(cfg.IMAGE_SIZE, cfg.DATASET_SIZE)
+
+    @property
+    def n_batches(self) -> int:
+        return int(self.images.shape[0]) // self.config.BATCH_SIZE
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    def train_init(self, n_epochs: int) -> None:
+        """Build schedules/optimizers/chains for an n_epochs run
+        (reference: src/model_wrapper.py:229-277)."""
+        self.losses["mse_losses"].clear()
+        self.losses["dvae_losses"].clear()
+        self._key = jax.random.PRNGKey(self.config.RANDOM_SEED)
+
+        keep = self.state is not None  # tune mode: keep loaded weights
+        old_state = self.state
+        if self.graph is None:
+            self.setup()
+        if self.images is None:
+            self._load_dataset()
+
+        self._n_epochs = n_epochs
+        total_steps = n_epochs * self.n_batches
+        self.fns = make_train_fns(self.config, self.graph, total_steps, self.plan)
+        state = self.fns.init(self._next_key(), self.images[:1])
+        if keep:
+            state = state.replace(
+                dvae_params=old_state.dvae_params,
+                batch_stats=old_state.batch_stats,
+                grbm_params=old_state.grbm_params,
+            )
+        self.state = state
+        self._init_done = True
+
+    def step(self, batch, epoch: int) -> float:
+        """Train on one batch; returns the MSE loss
+        (reference: src/model_wrapper.py:279-353)."""
+        if not self._init_done:
+            raise TrainingError("Initialization required before training.")
+        images = batch[0] if isinstance(batch, (tuple, list)) else batch
+        self.state, metrics = self.fns.step(self.state, images, jnp.asarray(epoch))
+        mse = float(metrics.mse)
+        self.losses["mse_losses"].append(mse)
+        self.losses["dvae_losses"].append(float(metrics.dvae_loss))
+        return mse
+
+    def train_epoch(self, epoch: int) -> dict:
+        """One full epoch as a single scanned XLA dispatch."""
+        if not self._init_done:
+            raise TrainingError("Initialization required before training.")
+        batches = permuted_epoch(self.images, self.config.BATCH_SIZE, self._next_key())
+        self.state, metrics = self.fns.epoch(self.state, batches, jnp.asarray(epoch))
+        mses = np.asarray(metrics.mse)
+        totals = np.asarray(metrics.dvae_loss)
+        self.losses["mse_losses"].extend(mses.tolist())
+        self.losses["dvae_losses"].extend(totals.tolist())
+        return {"mse": float(mses.mean()), "dvae_loss": float(totals.mean())}
+
+    def train(
+        self,
+        n_epochs: int,
+        progress_cb: Optional[Callable[[int, int], None]] = None,
+        epoch_cb: Optional[Callable[[int, dict], None]] = None,
+    ) -> dict:
+        """Full training run (the reference's ``execute_training`` epoch loop,
+        src/utils/callback_helpers.py:144-221, minus the UI file writes which
+        live in app/)."""
+        if not self._init_done or self._n_epochs != n_epochs:
+            self.train_init(n_epochs)
+        t0 = time.perf_counter()
+        for epoch in range(n_epochs):
+            stats = self.train_epoch(epoch)
+            stats["epoch_time_s"] = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if progress_cb:
+                progress_cb(epoch + 1, n_epochs)
+            if epoch_cb:
+                epoch_cb(epoch, stats)
+        return {
+            "final_mse": self.losses["mse_losses"][-1],
+            "final_dvae_loss": self.losses["dvae_losses"][-1],
+        }
+
+    # ------------------------------------------------------------------
+    # persistence (reference checkpoint format)
+    # ------------------------------------------------------------------
+    def save(self, file_path, n_epochs: Optional[int] = None, old_losses: Optional[dict] = None):
+        cfg = self.config
+        losses = self.losses
+        if old_losses:  # tune mode concatenates histories (demo_callbacks.py:769-771)
+            losses = {
+                "mse_losses": old_losses["mse_losses"] + losses["mse_losses"],
+                "dvae_losses": old_losses["dvae_losses"] + losses["dvae_losses"],
+            }
+        parameters = make_parameters_json(
+            n_latents=self.n_latents,
+            n_epochs=n_epochs if n_epochs is not None else self._n_epochs,
+            prefactor=cfg.PREFACTOR,
+            qpu=self.qpu,
+            num_reads=cfg.NUM_READS,
+            loss_function=cfg.LOSS_FUNCTION,
+            image_size=cfg.IMAGE_SIZE,
+            batch_size=cfg.BATCH_SIZE,
+            dataset_size=cfg.DATASET_SIZE,
+            random_seed=cfg.RANDOM_SEED,
+        )
+        return save_model_dir(
+            file_path,
+            self.state.dvae_params,
+            self.state.batch_stats,
+            self.state.grbm_params,
+            self.graph,
+            parameters,
+            losses,
+        )
+
+    def load(self, file_path) -> None:
+        """Load a reference-format model directory (incl. the six shipped
+        checkpoints).  The coupling graph comes from the checkpoint itself."""
+        dvae_params, batch_stats, grbm_params, graph, parameters, losses = load_model_dir(
+            file_path
+        )
+        if parameters:
+            self.n_latents = parameters.get("n_latents", self.n_latents)
+            self.config = self.config.replace(N_LATENTS=self.n_latents)
+            if parameters.get("qpu"):
+                self.qpu = parameters["qpu"]
+        self.graph = graph
+        self.plan = build_plan(graph)
+        self.losses = losses
+        if self.images is None:
+            self._load_dataset()
+        total_steps = max(parameters.get("n_epochs", 1), 1) * max(self.n_batches, 1)
+        self.fns = make_train_fns(self.config, self.graph, total_steps, self.plan)
+        state = self.fns.init(self._next_key(), self.images[:1])
+        self.state = state.replace(
+            dvae_params=dvae_params, batch_stats=batch_stats, grbm_params=grbm_params
+        )
+        self._init_done = True
+
+    # ------------------------------------------------------------------
+    # generation / evaluation (reference: model_wrapper.py:355-491)
+    # ------------------------------------------------------------------
+    def sample_spins(self, num_reads: Optional[int] = None, n_sweeps: Optional[int] = None):
+        cfg = self.config
+        return self.fns.sample(
+            self._next_key(),
+            self.state.grbm_params,
+            num_reads or cfg.NUM_READS,
+            n_sweeps or (cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS),
+        )
+
+    def generate_output(
+        self, do_sharpen: bool = False, num_reads: Optional[int] = None
+    ) -> dict:
+        """Sample the GRBM and decode: returns {'grid', 'images', 'latents'}
+        (the reference's generate_output, src/model_wrapper.py:355-399,
+        figure serialization lives in app/figures.py)."""
+        samples = self.sample_spins(num_reads)
+        dvae = self.fns.dvae
+        imgs = dvae.apply(
+            {"params": self.state.dvae_params, "batch_stats": self.state.batch_stats},
+            samples[:, None, :],
+            train=False,
+            method=dvae.decode,
+        )  # (N, 1, S, S, 1)
+        imgs = np.asarray(jnp.clip(imgs[:, 0], 0.0, 1.0))
+        if do_sharpen:
+            imgs = sharpen(imgs)
+        return {
+            "grid": make_grid(imgs, nrow=16),
+            "images": imgs,
+            "latents": np.asarray(samples),
+        }
+
+    def generate_reconstructed_samples(self, do_sharpen: bool = False) -> dict:
+        """Original/reconstruction interleaved grid (reference:
+        generate_reconstucted_samples [sic], src/model_wrapper.py:447-491,
+        including the white separator column on reconstructions)."""
+        cfg = self.config
+        batch = self.images[: cfg.BATCH_SIZE]
+        dvae = self.fns.dvae
+        _, _, recon = dvae.apply(
+            {"params": self.state.dvae_params, "batch_stats": self.state.batch_stats},
+            batch,
+            n_replicas=1,
+            train=False,
+            rngs={"spins": self._next_key()},
+        )
+        recon = np.array(jnp.clip(recon[:, 0], 0.0, 1.0))  # writable copy
+        recon[:, :, -1, :] = 1.0  # white separator column (model_wrapper.py:466)
+        pairs = interleave(np.asarray(batch), recon)
+        if do_sharpen:
+            pairs = sharpen(pairs)
+        return {"grid": make_grid(pairs, nrow=16, padding=0), "images": pairs}
+
+    # reference method name kept as an alias (misspelling and all)
+    generate_reconstucted_samples = generate_reconstructed_samples
+
+    def generate_loss_plot(self, old_loss_data: Optional[dict] = None) -> dict:
+        """Loss histories for plotting (figure JSON in app/figures.py)."""
+        mse = self.losses["mse_losses"]
+        total = self.losses["dvae_losses"]
+        if old_loss_data:
+            mse = old_loss_data["mse_losses"] + mse
+            total = old_loss_data["dvae_losses"] + total
+        return {"mse_losses": mse, "dvae_losses": total}
