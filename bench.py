@@ -1,0 +1,132 @@
+"""Benchmark: MNIST DVAE+GRBM training throughput on one chip.
+
+Measures the fused training step (DVAE forward/backward with 8 replicas,
+persistent-Gibbs negative phase, MMD, both optimizer updates — the
+reference's per-batch work, src/model_wrapper.py:279-353) at the flagship
+shape: 256 latents on a Zephyr-subgraph GRBM, batch 128 (reference
+training_parameters.yaml).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": images/sec/chip, "unit": ..., "vs_baseline": ...}
+``vs_baseline`` is against the 50,000 images/sec/chip north-star target
+(BASELINE.md); the reference itself trains at annealer-round-trip speed —
+minutes per epoch (reference: src/utils/callback_helpers.py:186-191).
+
+Diagnostics (per-phase timings, sampler sweep rate) go to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMAGES_PER_SEC = 50_000.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small shapes, CPU-friendly")
+    ap.add_argument("--steps", type=int, default=None, help="timed steps")
+    ap.add_argument("--batch-size", type=int, default=None)
+    args = ap.parse_args()
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.models.grbm import GRBMGraph
+    from image_generation_tpu.training.step import make_train_fns
+    from image_generation_tpu.utils.subgraph import select_latent_graph
+    from image_generation_tpu.utils.topology import graph_for_qpu, zephyr_graph
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    if args.quick:
+        cfg = TrainingConfig(
+            N_LATENTS=64, NUM_READS=64, BATCH_SIZE=args.batch_size or 32,
+            N_REPLICAS=4, GIBBS_SWEEPS=4, GIBBS_BURN_IN=4,
+        )
+        full = zephyr_graph(4)
+        steps = args.steps or 8
+    else:
+        cfg = TrainingConfig(BATCH_SIZE=args.batch_size or 128)
+        full = graph_for_qpu(cfg.QPU)  # Zephyr Z15 (Advantage2_system1)
+        steps = args.steps or 64
+
+    latent, _ = select_latent_graph(full, cfg.N_LATENTS, cfg.RANDOM_SEED)
+    graph = GRBMGraph.from_networkx(latent)
+    log(f"config: latents={cfg.N_LATENTS} edges={graph.n_edges} "
+        f"batch={cfg.BATCH_SIZE} replicas={cfg.N_REPLICAS} "
+        f"reads={cfg.NUM_READS} sweeps={cfg.GIBBS_SWEEPS}")
+
+    fns = make_train_fns(cfg, graph, total_steps=steps * 2)
+    key = jax.random.PRNGKey(0)
+    images = jnp.round(
+        jax.random.uniform(key, (cfg.BATCH_SIZE, cfg.IMAGE_SIZE, cfg.IMAGE_SIZE, 1))
+    ).astype(jnp.float32)
+    batches = jnp.broadcast_to(images, (steps, *images.shape))
+
+    t0 = time.perf_counter()
+    state = fns.init(key, images[:1])
+    jax.block_until_ready(state.chains)
+    log(f"init+burn-in: {time.perf_counter() - t0:.2f}s")
+
+    # warmup/compile at the EXACT timed shape (a different scan length would
+    # trigger a full recompile and pollute the measurement)
+    t0 = time.perf_counter()
+    state, _ = fns.epoch(state, batches, jnp.asarray(0))
+    jax.block_until_ready(jax.tree.leaves(state))
+    log(f"epoch compile+warmup ({steps} steps): {time.perf_counter() - t0:.2f}s")
+
+    # one more untimed chained call, SYNCED BY VALUE FETCH: on the tunneled
+    # backend block_until_ready does not reliably synchronize — only a
+    # device→host value fetch forces completion, so every timing boundary
+    # below fetches a scalar that depends on the computation.
+    state, m0 = fns.epoch(state, batches, jnp.asarray(1))
+    _ = float(m0.mse[-1])
+
+    # timed run: several CHAINED epoch calls (state evolves between calls —
+    # repeating an identical call can be served from an execution cache on
+    # some backends and reads as infinite throughput)
+    reps = 4
+    t0 = time.perf_counter()
+    for r in range(reps):
+        state, metrics = fns.epoch(state, batches, jnp.asarray(2 + r))
+    # single hard sync: the calls chain through `state`, so fetching a value
+    # of the last epoch forces the whole sequence
+    _ = float(metrics.mse[-1])
+    dt = time.perf_counter() - t0
+    imgs_per_sec = reps * steps * cfg.BATCH_SIZE / dt
+    log(f"{reps}×{steps} fused steps in {dt:.3f}s → {imgs_per_sec:,.0f} images/sec "
+        f"({dt / (reps * steps) * 1e3:.2f} ms/step; mse[-1]={float(metrics.mse[-1]):.4f})")
+
+    # sampler-only diagnostic: Gibbs sweep rate (value-fetch synced)
+    t0 = time.perf_counter()
+    s = fns.sample(key, state.grbm_params, cfg.NUM_READS, 64)
+    _ = float(s[0, 0])
+    t_compile_and_run = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = fns.sample(jax.random.PRNGKey(1), state.grbm_params, cfg.NUM_READS, 64)
+    _ = float(s[0, 0])
+    dt_s = time.perf_counter() - t0
+    log(f"gibbs: {cfg.NUM_READS} chains × 64 sweeps in {dt_s * 1e3:.1f} ms → "
+        f"{cfg.NUM_READS * 64 / dt_s:,.0f} chain-sweeps/sec "
+        f"(first call incl. compile {t_compile_and_run:.2f}s)")
+
+    print(json.dumps({
+        "metric": "mnist_dvae_train_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

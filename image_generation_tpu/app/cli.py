@@ -1,0 +1,184 @@
+"""Command-line application surface: train / generate / tune.
+
+The reference's application entry points are Dash background callbacks
+(``train`` demo_callbacks.py:600-663, ``generate`` 713-795 including the
+"Tune Parameters" flow).  This CLI exposes the same operations headlessly,
+writing the same artifacts (model dirs under ``models/``, per-epoch figure
+JSONs under ``generated_json/``), so the UI layer stays a thin shell.
+
+Usage:
+  python -m image_generation_tpu.app.cli train --name my_model --epochs 10
+  python -m image_generation_tpu.app.cli generate --model models/my_model
+  python -m image_generation_tpu.app.cli tune --model models/my_model --epochs 5
+  python -m image_generation_tpu.app.cli models      # list saved models
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def _build_trainer(args, for_load: bool = False):
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.trainer import Trainer
+
+    overrides = {}
+    if args.latents is not None:
+        overrides["N_LATENTS"] = args.latents
+    if args.dataset_size is not None:
+        overrides["DATASET_SIZE"] = args.dataset_size
+    if args.batch_size is not None:
+        overrides["BATCH_SIZE"] = args.batch_size
+    if getattr(args, "sweeps", None) is not None:
+        overrides["GIBBS_SWEEPS"] = args.sweeps
+    cfg = (
+        TrainingConfig.from_yaml(args.params, **overrides)
+        if args.params
+        else TrainingConfig(**overrides)
+    )
+    if not for_load:
+        cfg = cfg.replace(QPU=args.qpu)
+    return Trainer(qpu=cfg.QPU, config=cfg)
+
+
+def _attach_files(trainer, args):
+    from image_generation_tpu.app.files import RunFiles
+
+    files = RunFiles(args.workdir)
+    files.clean()
+    files.write_problem_details(
+        qpu=trainer.qpu,
+        n_latents=trainer.n_latents,
+        n_edges=trainer.graph.n_edges if trainer.graph else 0,
+        num_reads=trainer.config.NUM_READS,
+        sampler=trainer.config.SAMPLER,
+    )
+    return files
+
+
+def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
+    gen = trainer.generate_output()
+    rec = trainer.generate_reconstructed_samples()
+    files.write_epoch(
+        epoch,
+        gen["grid"],
+        rec["grid"],
+        trainer.losses["mse_losses"],
+        trainer.losses["dvae_losses"],
+    )
+    files.write_latent_encoded(gen["latents"][0])
+    files.write_progress(epoch + 1, n_epochs)
+    print(
+        f"epoch {epoch + 1}/{n_epochs}: mse={stats['mse']:.4f} "
+        f"total={stats['dvae_loss']:.4f} ({stats['epoch_time_s']:.1f}s)",
+        flush=True,
+    )
+
+
+def cmd_train(args):
+    trainer = _build_trainer(args)
+    trainer.train_init(args.epochs)
+    files = _attach_files(trainer, args)
+    print(
+        f"training: qpu={trainer.qpu} latents={trainer.n_latents} "
+        f"edges={trainer.graph.n_edges} data={trainer.data_source.origin} "
+        f"batches/epoch={trainer.n_batches}",
+        flush=True,
+    )
+    trainer.train(
+        args.epochs,
+        epoch_cb=lambda e, s: _epoch_artifacts(trainer, files, e, s, args.epochs),
+    )
+    out = Path(args.workdir) / "models" / args.name
+    trainer.save(out, n_epochs=args.epochs)
+    print(f"saved: {out}")
+
+
+def cmd_generate(args):
+    trainer = _build_trainer(args, for_load=True)
+    trainer.load(args.model)
+    gen = trainer.generate_output(do_sharpen=args.sharpen, num_reads=args.num_reads)
+    files = _attach_files(trainer, args)
+    rec = trainer.generate_reconstructed_samples(do_sharpen=args.sharpen)
+    files.write_epoch(0, gen["grid"], rec["grid"],
+                      trainer.losses["mse_losses"], trainer.losses["dvae_losses"])
+    files.write_latent_qpu(gen["latents"][0])
+    print(f"generated {gen['images'].shape[0]} images → "
+          f"{files.dir / 'generated_epoch_0.json'}")
+
+
+def cmd_tune(args):
+    trainer = _build_trainer(args, for_load=True)
+    trainer.load(args.model)
+    old_losses = dict(trainer.losses)
+    old_params = json.loads((Path(args.model) / "parameters.json").read_text())
+    trainer.train_init(args.epochs)
+    files = _attach_files(trainer, args)
+    trainer.train(
+        args.epochs,
+        epoch_cb=lambda e, s: _epoch_artifacts(trainer, files, e, s, args.epochs),
+    )
+    name = f"{Path(args.model).name}_tuned_{args.epochs}_epochs"
+    out = Path(args.workdir) / "models" / name
+    trainer.save(out, n_epochs=old_params.get("n_epochs", 0) + args.epochs,
+                 old_losses=old_losses)
+    print(f"saved: {out}")
+
+
+def cmd_models(args):
+    root = Path(args.workdir) / "models"
+    if not root.exists():
+        print("(no saved models)")
+        return
+    for d in sorted(root.iterdir()):
+        p = d / "parameters.json"
+        if p.exists():
+            meta = json.loads(p.read_text())
+            print(f"{d.name}: qpu={meta.get('qpu')} latents={meta.get('n_latents')} "
+                  f"epochs={meta.get('n_epochs')}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="image_generation_tpu")
+    ap.add_argument("--workdir", default=".", help="artifact root (models/, generated_json/)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--qpu", default="Advantage2_system1")
+    common.add_argument("--latents", type=int, default=None)
+    common.add_argument("--dataset-size", type=int, default=None)
+    common.add_argument("--batch-size", type=int, default=None)
+    common.add_argument("--sweeps", type=int, default=None, help="Gibbs sweeps per refresh")
+    common.add_argument("--params", default=None, help="training parameters YAML")
+
+    p = sub.add_parser("train", parents=[common])
+    p.add_argument("--name", required=True)
+    p.add_argument("--epochs", type=int, default=10)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("generate", parents=[common])
+    p.add_argument("--model", required=True)
+    p.add_argument("--sharpen", action="store_true")
+    p.add_argument("--num-reads", type=int, default=None)
+    p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser("tune", parents=[common])
+    p.add_argument("--model", required=True)
+    p.add_argument("--epochs", type=int, default=5)
+    p.set_defaults(fn=cmd_tune)
+
+    p = sub.add_parser("models")
+    p.set_defaults(fn=cmd_models)
+
+    args = ap.parse_args(argv)
+    t0 = time.perf_counter()
+    args.fn(args)
+    print(f"done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

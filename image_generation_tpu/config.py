@@ -49,6 +49,8 @@ class TrainingConfig:
     PT_NUM_BETAS: int = 8  # parallel-tempering ladder size (SAMPLER="pt")
     PT_BETA_MIN: float = 0.25
     N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
+    COMPUTE_DTYPE: str = "bfloat16"  # conv/dense compute precision on TPU;
+    # parameters, BatchNorm stats, losses and the sampler stay float32
 
     # --- model/problem shape (reference passes these via ModelWrapper args) ---
     QPU: str = "Advantage2_system1"

@@ -34,16 +34,22 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
 
 
 class Decoder(nn.Module):
-    """Maps (B, R, n_latents) spins to (B, R, H, W, 1) images."""
+    """Maps (B, R, n_latents) spins to (B, R, H, W, 1) images.
+
+    ``dtype`` is the compute precision of the conv/dense layers (bfloat16 on
+    TPU); parameters and BatchNorm statistics stay float32, and the output
+    is float32.
+    """
 
     n_latents: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = False) -> jax.Array:
         if z.ndim != 3:
             raise ValueError(f"decoder expects (B, R, n_latents); got {z.shape}")
         b, r, n = z.shape
-        x = nn.Dense(4 * n, name="increase_latent_dim")(z)  # (B, R, 4n)
+        x = nn.Dense(4 * n, dtype=self.dtype, name="increase_latent_dim")(z)
         # channel-major unflatten (reference: Unflatten(-1, (n, 2, 2))) then
         # merge batch+replica dims and convert to NHWC.
         x = x.reshape(b * r, n, 2, 2)
@@ -51,13 +57,17 @@ class Decoder(nn.Module):
 
         features = (128, 64, 32, 1)
         for i, f in enumerate(features):
-            x = nn.Conv(f, (3, 3), strides=1, padding="SAME", name=f"convt_{i}")(x)
+            x = nn.Conv(
+                f, (3, 3), strides=1, padding="SAME", dtype=self.dtype, name=f"convt_{i}"
+            )(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=jnp.float32,  # normalize in f32 regardless of compute dtype
                 name=f"bn_{i}",
             )(x)
+            x = x.astype(self.dtype)
             x = nn.Dropout(
                 rate=0.2, broadcast_dims=(1, 2), deterministic=not train,
                 name=f"dropout_{i}",
@@ -65,6 +75,6 @@ class Decoder(nn.Module):
             x = upsample_nearest_2x(x)
             x = nn.leaky_relu(x)
 
-        x = nn.Conv(1, (3, 3), strides=1, padding="SAME", name="convt_4")(x)
+        x = nn.Conv(1, (3, 3), strides=1, padding="SAME", dtype=self.dtype, name="convt_4")(x)
         h, w = x.shape[1], x.shape[2]
-        return x.reshape(b, r, h, w, 1)
+        return x.reshape(b, r, h, w, 1).astype(jnp.float32)

@@ -74,12 +74,13 @@ class DVAE(nn.Module):
 
     n_latents: int
     latent_to_discrete: Optional[str] = None  # None | "heaviside"
+    dtype: object = jnp.float32  # conv/dense compute precision (bf16 on TPU)
 
     def setup(self):
         if self.latent_to_discrete not in (None, "heaviside"):
             raise ValueError("Invalid Mode: Mode is not heaviside.")
-        self.encoder = Encoder(n_latents=self.n_latents)
-        self.decoder = Decoder(n_latents=self.n_latents)
+        self.encoder = Encoder(n_latents=self.n_latents, dtype=self.dtype)
+        self.decoder = Decoder(n_latents=self.n_latents, dtype=self.dtype)
 
     def __call__(self, images: jax.Array, n_replicas: int = 1, train: bool = False):
         logits = self.encoder(images, train=train)

@@ -26,21 +26,32 @@ __all__ = ["Encoder"]
 
 
 class Encoder(nn.Module):
-    """Maps (B, H, W, 1) binarized images to (B, n_latents) spin logits."""
+    """Maps (B, H, W, 1) binarized images to (B, n_latents) spin logits.
+
+    ``dtype`` is the compute precision of the conv/dense layers (bfloat16 on
+    TPU for MXU throughput); parameters and BatchNorm statistics stay
+    float32, and the returned logits are float32.
+    """
 
     n_latents: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = x.astype(self.dtype)
         features = (32, 64, 128, self.n_latents)
         for i, f in enumerate(features):
-            x = nn.Conv(f, (3, 3), strides=1, padding="SAME", name=f"conv_{i}")(x)
+            x = nn.Conv(
+                f, (3, 3), strides=1, padding="SAME", dtype=self.dtype, name=f"conv_{i}"
+            )(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
+                dtype=jnp.float32,  # normalize in f32 regardless of compute dtype
                 name=f"bn_{i}",
             )(x)
+            x = x.astype(self.dtype)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             if i < len(features) - 1:  # reference drops the last LeakyReLU
                 x = nn.leaky_relu(x)  # negative_slope 0.01, torch default
@@ -49,5 +60,5 @@ class Encoder(nn.Module):
         # Flatten(-2,-1) on NCHW, then project 4 → 1 and flatten.
         b = x.shape[0]
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, self.n_latents, 4)
-        x = nn.Dense(1, name="projection")(x)
-        return x.reshape(b, self.n_latents)
+        x = nn.Dense(1, dtype=self.dtype, name="projection")(x)
+        return x.reshape(b, self.n_latents).astype(jnp.float32)

@@ -1,28 +1,38 @@
-"""Colored block-Gibbs sampling for Ising models — pure-JAX reference path.
+"""Colored block-Gibbs sampling for Ising models — TPU-layout core.
 
 This is the TPU-native replacement for the reference's quantum-annealer
 negative phase (reference call sites: src/model_wrapper.py:308-316,
 src/utils/persistent_qpu_sampler.py:71-78).  Instead of one HTTPS round-trip
-to a QPU per batch, sampling is an on-device XLA program:
+to a QPU per batch, sampling is an on-device XLA program.
 
-  * the coupling graph is properly colored (utils/coloring.py); all spins of
-    one color are conditionally independent given the rest, so a color-class
-    update is one dense (chains × n)·(n × class_size) matmul (MXU) plus a
-    vectorized Bernoulli draw (VPU);
-  * a sweep scans the color classes; chains are batched along the leading
-    axis (the reference's ``num_reads`` becomes the chain count);
-  * parallel tempering runs a ladder of inverse temperatures with
-    even/odd-pair replica exchange, so cold chains mix even for stiff models.
+Layout strategy (the thing that makes it fast on TPU): spins live in a
+**color-permuted, padded coordinate system**.  The coupling graph is
+properly colored (utils/coloring.py); spins are reordered so each color
+class is one contiguous block, padded to a multiple of the 128-lane width.
+A color update is then
 
-Everything here is shape-static and jit/vmap/shard_map friendly.  The Pallas
-kernel in ``ops/gibbs_pallas.py`` implements the same math fused into VMEM;
-this module is the semantic reference (validated against exact enumeration
-in tests) and the CPU/interpret fallback.
+    fields = S @ A[:, c0:c1] + h[c0:c1]        # one MXU matmul, static slice
+    S[:, c0:c1] = bernoulli(σ(−2β·fields))      # static dynamic_update_slice
+
+— no gathers, no scatters, nothing dynamic in the sweep loop.  Because all
+spins in a class are mutually non-adjacent, updating them simultaneously is
+a valid systematic-scan Gibbs sweep.  Padding slots have zero couplings and
+zero fields: they flip coins without influencing anything and are dropped by
+``to_original``.
+
+The permuted coupling matrix/fields are rebuilt from the (traced) GRBM
+parameters each refresh via static-index scatters (edge indices are
+compile-time constants), costing about one sweep's worth of memory traffic.
+
+Chains are batched along the leading axis (the reference's ``num_reads``
+becomes the chain count) and row-sharding them over a mesh axis is
+communication-free.  Parallel tempering runs a β ladder with even/odd-pair
+replica exchange for stiff models.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import jax
@@ -30,12 +40,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_generation_tpu.models.grbm import GRBMGraph
-from image_generation_tpu.utils.coloring import color_classes
+from image_generation_tpu.utils.coloring import greedy_coloring
 
 __all__ = [
     "GibbsPlan",
     "build_plan",
+    "permuted_model",
     "gibbs_sweeps",
+    "random_spins",
+    "to_original",
     "ising_energies",
     "pt_round",
     "pt_sample",
@@ -44,16 +57,26 @@ __all__ = [
 
 @dataclass(frozen=True)
 class GibbsPlan:
-    """Static sampling plan for one coupling graph.
+    """Static sampling plan: the color-permuted coordinate system.
+
+    Attributes:
+      n: number of real spins.
+      n_pad: padded length (Σ per-color padded block sizes).
+      blocks: tuple of (start, valid_stop, padded_stop) per color.
+      orig_to_perm: (n,) padded position of each original spin.
+      perm_edge_i/j: (E,) edge endpoints in padded coordinates.
+      valid_mask: (n_pad,) True at real-spin positions.
 
     Hashable by identity so jitted samplers can close over it.
     """
 
     n: int
-    n_colors: int
-    class_size: int
-    idx: np.ndarray  # (n_colors, class_size) int32; padding slots hold n
-    valid: np.ndarray  # (n_colors, class_size) bool
+    n_pad: int
+    blocks: tuple
+    orig_to_perm: np.ndarray
+    perm_edge_i: np.ndarray
+    perm_edge_j: np.ndarray
+    valid_mask: np.ndarray
 
     def __hash__(self):
         return id(self)
@@ -61,77 +84,121 @@ class GibbsPlan:
     def __eq__(self, other):
         return self is other
 
+    @property
+    def n_colors(self) -> int:
+        return len(self.blocks)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
 
 def build_plan(graph: GRBMGraph, pad_to: int = 128) -> GibbsPlan:
-    cc = color_classes(graph.to_networkx(), pad_to=pad_to)
+    cc = greedy_coloring(graph.to_networkx())
+    n = graph.n
+    n_colors = (max(cc.values()) + 1) if n else 0
+    classes = [[] for _ in range(n_colors)]
+    for v in range(n):
+        classes[cc[v]].append(v)
+
+    orig_to_perm = np.zeros(n, dtype=np.int32)
+    blocks = []
+    pos = 0
+    for members in classes:
+        start = pos
+        for v in members:
+            orig_to_perm[v] = pos
+            pos += 1
+        valid_stop = pos
+        pos = _round_up(pos, pad_to) if pad_to > 1 else pos
+        blocks.append((start, valid_stop, pos))
+    n_pad = pos
+
+    valid_mask = np.zeros(n_pad, dtype=bool)
+    valid_mask[orig_to_perm] = True
     return GibbsPlan(
-        n=cc.n,
-        n_colors=cc.n_colors,
-        class_size=cc.class_size,
-        idx=cc.indices,
-        valid=cc.valid,
+        n=n,
+        n_pad=n_pad,
+        blocks=tuple(blocks),
+        orig_to_perm=orig_to_perm,
+        perm_edge_i=orig_to_perm[graph.edge_i],
+        perm_edge_j=orig_to_perm[graph.edge_j],
+        valid_mask=valid_mask,
     )
 
 
-def ising_energies(h: jax.Array, coupling: jax.Array, spins: jax.Array) -> jax.Array:
-    """E(s) = h·s + ½ sᵀ A s for dense symmetric zero-diagonal A.
+def permuted_model(
+    plan: GibbsPlan, h: jax.Array, quadratic: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Build (h_p, A_p) in padded-permuted coordinates from model params.
 
-    ``spins``: (..., n) → (...,).
+    Static-index scatters (edge positions are compile-time constants);
+    padding rows/columns stay zero.
     """
-    return spins @ h + 0.5 * jnp.sum(spins * (spins @ coupling), axis=-1)
+    ei = jnp.asarray(plan.perm_edge_i)
+    ej = jnp.asarray(plan.perm_edge_j)
+    a = jnp.zeros((plan.n_pad, plan.n_pad), dtype=jnp.float32)
+    a = a.at[ei, ej].add(quadratic)
+    a = a.at[ej, ei].add(quadratic)
+    hp = jnp.zeros(plan.n_pad, dtype=jnp.float32).at[jnp.asarray(plan.orig_to_perm)].set(h)
+    return hp, a
+
+
+def random_spins(key: jax.Array, plan: GibbsPlan, n_chains: int, dtype=jnp.float32):
+    """Fresh ±1 chain state in padded coordinates: (n_chains, n_pad)."""
+    return 2.0 * jax.random.bernoulli(key, 0.5, (n_chains, plan.n_pad)).astype(dtype) - 1.0
+
+
+def to_original(plan: GibbsPlan, spins_p: jax.Array) -> jax.Array:
+    """(…, n_pad) padded spins → (…, n) original spin order (static gather)."""
+    return spins_p[..., jnp.asarray(plan.orig_to_perm)]
 
 
 def gibbs_sweeps(
     key: jax.Array,
-    h: jax.Array,
-    coupling: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
     plan: GibbsPlan,
-    spins: jax.Array,
+    spins_p: jax.Array,
     n_sweeps: int,
     beta: jax.Array | float = 1.0,
 ) -> jax.Array:
-    """Run ``n_sweeps`` systematic color-scan Gibbs sweeps.
+    """Run ``n_sweeps`` systematic color-scan Gibbs sweeps (padded coords).
 
     Args:
-      key: PRNG key.
-      h: (n,) fields of the model being sampled (already prefactor-scaled
-        and range-clipped — see ``models.grbm.scaled_ising``).
-      coupling: (n, n) dense symmetric coupling matrix (zero diagonal).
-      plan: static coloring plan for the graph.
-      spins: (chains, n) current state in {-1, +1}.
-      n_sweeps: number of full sweeps (static).
-      beta: inverse temperature, scalar or (chains,) for tempered chains.
+      hp, coupling_p: permuted fields (n_pad,) and dense symmetric coupling
+        (n_pad, n_pad) from ``permuted_model``.
+      spins_p: (chains, n_pad) current state in {−1, +1}.
+      beta: inverse temperature, scalar or (chains,).
 
-    Returns:
-      (chains, n) updated spins.  Conditional update rule: the local field is
-      f_i = h_i + Σ_j A_ij s_j and p(s_i = +1 | rest) = σ(−2 β f_i), the
-      Boltzmann conditional of E(s) = h·s + ½ sᵀAs.
+    Conditional update: local field f_i = h_i + Σ_j A_ij s_j and
+    p(s_i = +1 | rest) = σ(−2 β f_i) — the Boltzmann conditional of
+    E(s) = h·s + ½ sᵀAs.
     """
-    beta = jnp.asarray(beta, dtype=spins.dtype)
-    if beta.ndim == 0:
-        beta_col = beta
-    else:
-        beta_col = beta[:, None]
-    idx_all = jnp.asarray(plan.idx)
-
-    def color_step(s, xs):
-        idx, k = xs
-        a_cols = jnp.take(coupling, idx, axis=1, mode="fill", fill_value=0.0)
-        h_c = jnp.take(h, idx, mode="fill", fill_value=0.0)
-        fields = s @ a_cols + h_c  # (chains, class_size)
-        p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
-        u = jax.random.uniform(k, fields.shape, dtype=fields.dtype)
-        new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
-        s = s.at[:, idx].set(new, mode="drop")
-        return s, None
+    beta = jnp.asarray(beta, dtype=spins_p.dtype)
+    beta_col = beta if beta.ndim == 0 else beta[:, None]
+    blocks = plan.blocks
+    chains = spins_p.shape[0]
 
     def sweep(s, k_sweep):
-        ks = jax.random.split(k_sweep, plan.n_colors)
-        s, _ = jax.lax.scan(color_step, s, (idx_all, ks))
+        for c, (start, valid_stop, stop) in enumerate(blocks):
+            width = stop - start
+            k = jax.random.fold_in(k_sweep, c)
+            fields = s @ jax.lax.slice_in_dim(coupling_p, start, stop, axis=1)
+            fields = fields + jax.lax.slice_in_dim(hp, start, stop)
+            p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
+            u = jax.random.uniform(k, (chains, width), dtype=fields.dtype)
+            new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
+            s = jax.lax.dynamic_update_slice_in_dim(s, new, start, axis=1)
         return s, None
 
-    spins, _ = jax.lax.scan(sweep, spins, jax.random.split(key, n_sweeps))
-    return spins
+    spins_p, _ = jax.lax.scan(sweep, spins_p, jax.random.split(key, n_sweeps))
+    return spins_p
+
+
+def ising_energies(hp: jax.Array, coupling_p: jax.Array, spins_p: jax.Array) -> jax.Array:
+    """E(s) = h·s + ½ sᵀ A s in padded coordinates (padding contributes 0)."""
+    return spins_p @ hp + 0.5 * jnp.sum(spins_p * (spins_p @ coupling_p), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -140,56 +207,55 @@ def gibbs_sweeps(
 
 def pt_round(
     key: jax.Array,
-    h: jax.Array,
-    coupling: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
     plan: GibbsPlan,
-    spins: jax.Array,
+    spins_p: jax.Array,
     betas: jax.Array,
     sweeps_per_round: int,
 ) -> jax.Array:
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
     Args:
-      spins: (T, C, n) — T temperatures × C chains each.
+      spins_p: (T, C, n_pad) — T temperatures × C chains each.
       betas: (T,) ascending inverse temperatures (betas[-1] is the target).
 
     Replica exchange: adjacent pairs (t, t+1) attempt a configuration swap
     accepted with probability min(1, exp((β_t − β_{t+1})(E_t − E_{t+1}))),
     even pairs then odd pairs, each chain column independently.
     """
-    t_dim, c_dim, n = spins.shape
+    t_dim, c_dim, n_pad = spins_p.shape
     k_sweep, k_even, k_odd = jax.random.split(key, 3)
 
-    flat = spins.reshape(t_dim * c_dim, n)
+    flat = spins_p.reshape(t_dim * c_dim, n_pad)
     beta_per_chain = jnp.repeat(betas, c_dim)
-    flat = gibbs_sweeps(k_sweep, h, coupling, plan, flat, sweeps_per_round, beta_per_chain)
-    spins = flat.reshape(t_dim, c_dim, n)
+    flat = gibbs_sweeps(k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain)
+    spins_p = flat.reshape(t_dim, c_dim, n_pad)
 
     def swap_pass(s, k, parity):
-        e = ising_energies(h, coupling, s)  # (T, C)
+        e = ising_energies(hp, coupling_p, s)  # (T, C)
         delta = (betas[:-1] - betas[1:])[:, None] * (e[:-1] - e[1:])  # (T-1, C)
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]
         accept = (jnp.log(u) < delta) & pair_mask  # (T-1, C)
-        # swap_next[t]: row t swaps with t+1; swap_prev[t]: with t-1
         pad = jnp.zeros((1, c_dim), dtype=bool)
-        swap_next = jnp.concatenate([accept, pad], axis=0)  # (T, C)
-        swap_prev = jnp.concatenate([pad, accept], axis=0)  # (T, C)
+        swap_next = jnp.concatenate([accept, pad], axis=0)  # row t ↔ t+1
+        swap_prev = jnp.concatenate([pad, accept], axis=0)  # row t ↔ t−1
         s_next = jnp.roll(s, -1, axis=0)
         s_prev = jnp.roll(s, 1, axis=0)
         return jnp.where(
             swap_next[..., None], s_next, jnp.where(swap_prev[..., None], s_prev, s)
         )
 
-    spins = swap_pass(spins, k_even, 0)
-    spins = swap_pass(spins, k_odd, 1)
-    return spins
+    spins_p = swap_pass(spins_p, k_even, 0)
+    spins_p = swap_pass(spins_p, k_odd, 1)
+    return spins_p
 
 
 def pt_sample(
     key: jax.Array,
-    h: jax.Array,
-    coupling: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
     plan: GibbsPlan,
     n_chains: int,
     betas: jax.Array,
@@ -199,24 +265,20 @@ def pt_sample(
 ) -> Tuple[jax.Array, jax.Array]:
     """Full parallel-tempering run from (optionally persistent) chain state.
 
-    Returns (target_spins, all_spins): the (C, n) samples at the target
-    temperature betas[-1], and the full (T, C, n) ladder state for
-    persistence across calls (the fixed version of the reference's dead
+    Returns (target_spins, ladder): the (C, n_pad) samples at the target
+    temperature betas[-1], and the full (T, C, n_pad) ladder state for
+    persistence across calls (the working version of the reference's dead
     persistent-sample deque, src/utils/persistent_qpu_sampler.py:61-63).
     """
     t_dim = betas.shape[0]
     k_init, key = jax.random.split(key)
     if init_spins is None:
-        init_spins = (
-            2.0
-            * jax.random.bernoulli(k_init, 0.5, (t_dim, n_chains, h.shape[0])).astype(
-                jnp.float32
-            )
-            - 1.0
+        init_spins = random_spins(k_init, plan, t_dim * n_chains).reshape(
+            t_dim, n_chains, plan.n_pad
         )
 
     def round_fn(s, k):
-        return pt_round(k, h, coupling, plan, s, betas, sweeps_per_round), None
+        return pt_round(k, hp, coupling_p, plan, s, betas, sweeps_per_round), None
 
-    spins, _ = jax.lax.scan(round_fn, init_spins, jax.random.split(key, n_rounds))
-    return spins[-1], spins
+    spins_p, _ = jax.lax.scan(round_fn, init_spins, jax.random.split(key, n_rounds))
+    return spins_p[-1], spins_p

@@ -61,7 +61,7 @@ class GaussianKernel:
         self.n_kernels = n_kernels
         self.multiplier = multiplier
         self.bandwidth = bandwidth
-        self.exponents = jnp.arange(n_kernels, dtype=jnp.float32) - (n_kernels - 1) / 2.0
+        self.exponents = [i - (n_kernels - 1) / 2.0 for i in range(n_kernels)]
 
     def base_bandwidth(self, d2: jax.Array) -> jax.Array:
         if self.bandwidth is not None:
@@ -73,8 +73,14 @@ class GaussianKernel:
     def __call__(self, d2: jax.Array, base: Optional[jax.Array] = None) -> jax.Array:
         if base is None:
             base = self.base_bandwidth(d2)
-        sigmas = base * jnp.power(self.multiplier, self.exponents)  # (n_kernels,)
-        return jnp.sum(jnp.exp(-d2[..., None] / sigmas), axis=-1)
+        # unrolled sum over the mixture: keeps every intermediate (N, N) —
+        # an (N, N, n_kernels) tensor would put a tiny, lane-misaligned
+        # dimension last, which TPUs lay out catastrophically.
+        out = None
+        for w in self.exponents:
+            term = jnp.exp(-d2 / (base * (self.multiplier**w)))
+            out = term if out is None else out + term
+        return out
 
 
 def mmd_loss(x: jax.Array, y: jax.Array, kernel: Optional[GaussianKernel] = None) -> jax.Array:

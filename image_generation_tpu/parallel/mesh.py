@@ -1,0 +1,70 @@
+"""Device mesh construction and sharding rules for multi-chip training.
+
+The reference has no distributed training at all (SURVEY.md §2c: single
+``torch.device``); this framework scales with GSPMD over a
+``jax.sharding.Mesh``.  The natural parallel axes of this model family are:
+
+  * ``data``  — global batch (data parallelism; gradients all-reduced by XLA
+    over ICI);
+  * ``chain`` — Gibbs chains / annealer reads (the reference's ``num_reads``
+    axis; embarrassingly parallel, zero-communication row sharding of the
+    (chains × n) spin state, with an all-gather only where the MMD loss
+    consumes the samples).
+
+Parameters and optimizer state are replicated (the DVAE is ~1.3M params —
+tensor/pipeline sharding would be pure overhead; GSPMD gives it for free
+later if models grow).  All communication is XLA collectives over ICI —
+no host round-trips anywhere in the step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["create_mesh", "shard_train_state", "shard_batch", "replicate"]
+
+
+def create_mesh(
+    n_devices: Optional[int] = None,
+    shape: Optional[Tuple[int, int]] = None,
+    axis_names: Sequence[str] = ("data", "chain"),
+) -> Mesh:
+    """Create a 2-D (data × chain) device mesh.
+
+    ``shape`` defaults to (n/2, 2) for n ≥ 2 (both axes exercised), else
+    (1, 1).  On a v5e-8 slice this is (4, 2); both axes ride ICI.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if shape is None:
+        shape = (n_devices // 2, 2) if n_devices >= 2 else (1, 1)
+    if shape[0] * shape[1] != n_devices:
+        raise ValueError(f"mesh shape {shape} != {n_devices} devices")
+    arr = np.asarray(devices[:n_devices]).reshape(shape)
+    return Mesh(arr, axis_names)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate every leaf of a pytree across the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_batch(images: jax.Array, mesh: Mesh) -> jax.Array:
+    """Shard a (B, H, W, C) batch along the ``data`` axis."""
+    return jax.device_put(images, NamedSharding(mesh, P("data")))
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: chains row-sharded over ``chain``
+    (and ``data``, jointly, when chains are plentiful), everything else
+    replicated.  Committed shardings propagate through the jitted step, so
+    no re-wrapping of the step function is needed (GSPMD)."""
+    state = replicate(state, mesh)
+    chain_sharding = NamedSharding(mesh, P(("data", "chain")))
+    return state.replace(chains=jax.device_put(state.chains, chain_sharding))

@@ -51,7 +51,14 @@ from image_generation_tpu.models.grbm import (
     nll_value,
     scaled_ising,
 )
-from image_generation_tpu.ops.gibbs import GibbsPlan, build_plan, gibbs_sweeps
+from image_generation_tpu.ops.gibbs import (
+    GibbsPlan,
+    build_plan,
+    gibbs_sweeps,
+    permuted_model,
+    random_spins,
+    to_original,
+)
 from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
 from image_generation_tpu.training.schedules import geomspace_lr
 
@@ -65,7 +72,11 @@ class TrainState:
     grbm_params: GRBMParams
     dvae_opt: optax.OptState
     grbm_opt: optax.OptState
-    chains: jax.Array  # (NUM_READS, n) persistent Gibbs chains (±1)
+    chains: jax.Array  # (NUM_READS, n_pad) persistent Gibbs chains (±1)
+    sampler_h: jax.Array  # (n_pad,) cached permuted fields of the scaled model
+    sampler_coupling: jax.Array  # (n_pad, n_pad) cached permuted couplings —
+    # rebuilt only when grbm_params change (the scheduled GRBM steps), so the
+    # common step pays zero model-build cost
     opt_step: jax.Array  # int32 global step counter
     rng: jax.Array  # PRNG key threaded through steps
 
@@ -82,7 +93,18 @@ class StepMetrics:
 class TrainStepFns:
     """Bundle of jitted training functions bound to one (config, graph)."""
 
-    def __init__(self, config, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn):
+    def __init__(
+        self,
+        config,
+        graph,
+        dvae,
+        init_fn,
+        step_fn,
+        epoch_fn,
+        sample_fn,
+        step_body,
+        rebuild_sampler,
+    ):
         self.config = config
         self.graph = graph
         self.dvae = dvae
@@ -90,6 +112,8 @@ class TrainStepFns:
         self.step = step_fn
         self.epoch = epoch_fn
         self.sample = sample_fn
+        self.step_body = step_body  # unjitted: for sharded/pjit wrapping
+        self.rebuild_sampler = rebuild_sampler  # refresh cache after swapping params
 
 
 def make_train_fns(
@@ -105,7 +129,11 @@ def make_train_fns(
     """
     if plan is None:
         plan = build_plan(graph)
-    dvae = DVAE(n_latents=cfg.N_LATENTS, latent_to_discrete=cfg.LATENT_TO_DISCRETE)
+    dvae = DVAE(
+        n_latents=cfg.N_LATENTS,
+        latent_to_discrete=cfg.LATENT_TO_DISCRETE,
+        dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
+    )
     kernel = GaussianKernel(n_kernels=cfg.N_KERNELS)
     dvae_lr = geomspace_lr(cfg.AUTOENCODER_INITIAL_LR, cfg.AUTOENCODER_FINAL_LR, total_steps)
     grbm_lr = geomspace_lr(cfg.BM_INITIAL_LR, cfg.BM_FINAL_LR, total_steps)
@@ -119,10 +147,16 @@ def make_train_fns(
         optax.add_decayed_weights(cfg.BM_WEIGHT_DECAY), optax.scale_by_adam()
     )
 
-    def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
+    def build_sampler_model(grbm_params: GRBMParams):
+        """(hp, coupling_p) of the prefactor-scaled, range-clipped model in
+        padded/color-permuted coordinates."""
         h, j = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
-        coupling = graph.coupling_matrix(j)
-        return gibbs_sweeps(key, h, coupling, plan, chains, n_sweeps)
+        return permuted_model(plan, h, j)
+
+    def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
+        """Fresh-model path (init/generation): builds the model then sweeps."""
+        hp, coupling_p = build_sampler_model(grbm_params)
+        return gibbs_sweeps(key, hp, coupling_p, plan, chains, n_sweeps)
 
     def init_fn(key: jax.Array, sample_image: jax.Array) -> TrainState:
         """sample_image: (1, S, S, 1) used only for shape-correct init."""
@@ -134,11 +168,9 @@ def make_train_fns(
             train=False,
         )
         grbm_params = graph.init_params(k_grbm)
-        chains = (
-            2.0 * jax.random.bernoulli(k_chains, 0.5, (cfg.NUM_READS, graph.n)).astype(jnp.float32)
-            - 1.0
-        )
-        chains = refresh_chains(k_burn, grbm_params, chains, cfg.GIBBS_BURN_IN)
+        hp, coupling_p = build_sampler_model(grbm_params)
+        chains = random_spins(k_chains, plan, cfg.NUM_READS)
+        chains = gibbs_sweeps(k_burn, hp, coupling_p, plan, chains, cfg.GIBBS_BURN_IN)
         return TrainState(
             dvae_params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -146,6 +178,8 @@ def make_train_fns(
             dvae_opt=dvae_tx.init(variables["params"]),
             grbm_opt=grbm_tx.init(grbm_params),
             chains=chains,
+            sampler_h=hp,
+            sampler_coupling=coupling_p,
             opt_step=jnp.asarray(0, jnp.int32),
             rng=k_rng,
         )
@@ -154,8 +188,14 @@ def make_train_fns(
         rng, k_spins, k_drop, k_neg1, k_neg2 = jax.random.split(state.rng, 5)
 
         # ---- negative phase #1 (the per-batch sampler call) ----
-        chains = refresh_chains(k_neg1, state.grbm_params, state.chains, cfg.GIBBS_SWEEPS)
-        samples = jax.lax.stop_gradient(chains)
+        # uses the cached sampler model: grbm params are unchanged since the
+        # last scheduled GRBM update, so (sampler_h, sampler_coupling) are
+        # exactly scaled_ising(current params)
+        chains = gibbs_sweeps(
+            k_neg1, state.sampler_h, state.sampler_coupling, plan, state.chains,
+            cfg.GIBBS_SWEEPS,
+        )
+        samples = jax.lax.stop_gradient(to_original(plan, chains))
 
         # ---- DVAE forward + MSE + MMD, backward ----
         def loss_fn(dvae_params):
@@ -187,23 +227,28 @@ def make_train_fns(
         data_spins = jax.lax.stop_gradient(flat_spins)
 
         def grbm_branch(op):
-            grbm_params, grbm_opt, chains_in = op
+            grbm_params, grbm_opt, chains_in, hp, coupling_p = op
             # negative phase #2 — the reference's second QPU call per
             # scheduled step (inside nll_loss, src/losses.py:50-57)
-            chains2 = refresh_chains(k_neg2, grbm_params, chains_in, cfg.GIBBS_SWEEPS)
-            grads = nll_grads(graph, data_spins, chains2)
+            chains2 = gibbs_sweeps(k_neg2, hp, coupling_p, plan, chains_in, cfg.GIBBS_SWEEPS)
+            model_spins = to_original(plan, chains2)
+            grads = nll_grads(graph, data_spins, model_spins)
             updates, opt2 = grbm_tx.update(grads, grbm_opt, grbm_params)
             lr_g = grbm_lr(state.opt_step)
             new_params = jax.tree.map(lambda p, u: p - lr_g * u, grbm_params, updates)
-            nll = nll_value(grbm_params, graph, data_spins, chains2)
-            return new_params, opt2, chains2, nll
+            nll = nll_value(grbm_params, graph, data_spins, model_spins)
+            hp2, coupling_p2 = build_sampler_model(new_params)  # refresh cache
+            return new_params, opt2, chains2, hp2, coupling_p2, nll
 
         def no_grbm(op):
-            grbm_params, grbm_opt, chains_in = op
-            return grbm_params, grbm_opt, chains_in, jnp.asarray(0.0, jnp.float32)
+            grbm_params, grbm_opt, chains_in, hp, coupling_p = op
+            return grbm_params, grbm_opt, chains_in, hp, coupling_p, jnp.asarray(0.0, jnp.float32)
 
-        grbm_params, grbm_opt, chains, nll = jax.lax.cond(
-            train_grbm, grbm_branch, no_grbm, (state.grbm_params, state.grbm_opt, chains)
+        grbm_params, grbm_opt, chains, sampler_h, sampler_coupling, nll = jax.lax.cond(
+            train_grbm,
+            grbm_branch,
+            no_grbm,
+            (state.grbm_params, state.grbm_opt, chains, state.sampler_h, state.sampler_coupling),
         )
 
         new_state = TrainState(
@@ -213,6 +258,8 @@ def make_train_fns(
             dvae_opt=dvae_opt,
             grbm_opt=grbm_opt,
             chains=chains,
+            sampler_h=sampler_h,
+            sampler_coupling=sampler_coupling,
             opt_step=state.opt_step + 1,
             rng=rng,
         )
@@ -237,11 +284,22 @@ def make_train_fns(
 
     @partial(jax.jit, static_argnums=(2, 3))
     def sample_fn(key: jax.Array, grbm_params: GRBMParams, num_reads: int, n_sweeps: int):
-        """Standalone sampler call for generation (grbm.sample equivalent)."""
-        k1, k2 = jax.random.split(key)
-        chains = (
-            2.0 * jax.random.bernoulli(k1, 0.5, (num_reads, graph.n)).astype(jnp.float32) - 1.0
-        )
-        return refresh_chains(k2, grbm_params, chains, n_sweeps)
+        """Standalone sampler call for generation (grbm.sample equivalent).
 
-    return TrainStepFns(cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn)
+        Returns (num_reads, n) spins in original coordinates.
+        """
+        k1, k2 = jax.random.split(key)
+        chains = random_spins(k1, plan, num_reads)
+        return to_original(plan, refresh_chains(k2, grbm_params, chains, n_sweeps))
+
+    @jax.jit
+    def rebuild_sampler(state: TrainState) -> TrainState:
+        """Recompute the cached (sampler_h, sampler_coupling) from the
+        state's grbm_params — required after externally swapping params
+        (checkpoint load, tune mode)."""
+        hp, coupling_p = build_sampler_model(state.grbm_params)
+        return state.replace(sampler_h=hp, sampler_coupling=coupling_p)
+
+    return TrainStepFns(
+        cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body, rebuild_sampler
+    )

@@ -132,6 +132,7 @@ class Trainer:
                 batch_stats=old_state.batch_stats,
                 grbm_params=old_state.grbm_params,
             )
+            state = self.fns.rebuild_sampler(state)
         self.state = state
         self._init_done = True
 
@@ -236,9 +237,10 @@ class Trainer:
         total_steps = max(parameters.get("n_epochs", 1), 1) * max(self.n_batches, 1)
         self.fns = make_train_fns(self.config, self.graph, total_steps, self.plan)
         state = self.fns.init(self._next_key(), self.images[:1])
-        self.state = state.replace(
+        state = state.replace(
             dvae_params=dvae_params, batch_stats=batch_stats, grbm_params=grbm_params
         )
+        self.state = self.fns.rebuild_sampler(state)
         self._init_done = True
 
     # ------------------------------------------------------------------

@@ -1,0 +1,96 @@
+"""App-layer tests: figure JSON schema, file protocol, CLI end-to-end."""
+
+import json
+
+import numpy as np
+import pytest
+
+from image_generation_tpu.app.cli import main as cli_main
+from image_generation_tpu.app.figures import imshow_figure, loss_figure, topology_figure
+from image_generation_tpu.app.files import RunFiles
+from image_generation_tpu.utils.topology import graph_layout, zephyr_graph
+
+
+def test_imshow_figure_schema():
+    img = np.random.RandomState(0).rand(8, 10, 1)
+    fig = imshow_figure(img)
+    assert fig["data"][0]["type"] == "heatmap"
+    assert len(fig["data"][0]["z"]) == 8
+    assert len(fig["data"][0]["z"][0]) == 10
+    json.dumps(fig)  # serializable
+
+
+def test_loss_figure_schema():
+    fig = loss_figure([1.0, 0.5, 0.25])
+    assert fig["data"][0]["y"] == [1.0, 0.5, 0.25]
+    assert fig["layout"]["xaxis"]["title"]["text"] == "Batch"
+    json.dumps(fig)
+
+
+def test_topology_figure():
+    g = zephyr_graph(2)
+    pos = graph_layout(g)
+    vals = [1.0 if i % 2 else -1.0 for i in range(g.number_of_nodes())]
+    fig = topology_figure(g, pos, vals)
+    assert len(fig["data"]) == 2  # edges + nodes
+    assert len(fig["data"][1]["x"]) == g.number_of_nodes()
+    json.dumps(fig)
+
+
+def test_runfiles_protocol(tmp_path):
+    rf = RunFiles(tmp_path)
+    grid = np.zeros((4, 4, 1))
+    rf.write_epoch(0, grid, grid, [1.0], [2.0])
+    assert rf.read_epoch_figure("generated", 0) is not None
+    assert rf.read_epoch_figure("loss_mse", 0)["data"][0]["y"] == [1.0]
+    assert rf.read_epoch_figure("generated", 1) is None  # not written yet
+    rf.write_progress(3, 10)
+    assert rf.read_progress() == {"step": 3, "total": 10}
+    rf.write_problem_details("Advantage2_system1", 32, 100, 64, "gibbs")
+    details = json.loads((rf.dir / "problem_details.json").read_text())
+    assert details["n_edges"] == 100
+    rf.write_latent_encoded([1.0, -1.0])
+    assert (tmp_path / "assets/model_diagram/latent_encoded.json").exists()
+    # corrupt file → None, not crash (the reference treats it as
+    # "epoch not done", demo_callbacks.py:564-566)
+    (rf.dir / "generated_epoch_5.json").write_text("{not json")
+    assert rf.read_epoch_figure("generated", 5) is None
+    rf.clean()
+    assert rf.read_progress() is None
+
+
+@pytest.mark.slow
+def test_cli_train_generate_tune(tmp_path):
+    """Full CLI pass: train → artifacts → generate → tune."""
+    common = [
+        "--workdir", str(tmp_path), "train", "--name", "cli_test",
+        "--qpu", "Advantage2_prototype", "--latents", "32",
+        "--dataset-size", "64", "--batch-size", "16", "--sweeps", "2",
+        "--epochs", "1",
+    ]
+    cli_main(common)
+    model_dir = tmp_path / "models" / "cli_test"
+    assert (model_dir / "dvae.pth").exists()
+    assert (tmp_path / "generated_json" / "generated_epoch_0.json").exists()
+    assert (tmp_path / "generated_json" / "loss_total_epoch_0.json").exists()
+    params = json.loads((model_dir / "parameters.json").read_text())
+    assert params["n_epochs"] == 1 and params["n_latents"] == 32
+
+    cli_main([
+        "--workdir", str(tmp_path), "generate", "--model", str(model_dir),
+        "--dataset-size", "64", "--batch-size", "16", "--num-reads", "16",
+        "--sharpen",
+    ])
+    assert (tmp_path / "assets/model_diagram/latent_qpu.json").exists()
+
+    cli_main([
+        "--workdir", str(tmp_path), "tune", "--model", str(model_dir),
+        "--dataset-size", "64", "--batch-size", "16", "--sweeps", "2",
+        "--epochs", "1",
+    ])
+    tuned = tmp_path / "models" / "cli_test_tuned_1_epochs"
+    assert (tuned / "dvae.pth").exists()
+    tuned_params = json.loads((tuned / "parameters.json").read_text())
+    assert tuned_params["n_epochs"] == 2  # 1 original + 1 tuned
+    losses = json.loads((tuned / "losses.json").read_text())
+    assert len(losses["mse_losses"]) == 8  # 4 batches × 2 epochs concatenated

@@ -103,13 +103,41 @@ def test_grbm_updates_only_on_schedule():
     np.testing.assert_array_equal(lin2, lin3)
 
 
+def test_sampler_cache_tracks_grbm_params():
+    """The cached (sampler_h, sampler_coupling) must always equal
+    scaled_ising(current grbm params) — including after scheduled GRBM
+    updates, checkpoint loads, and tune re-inits."""
+    from image_generation_tpu.models.grbm import scaled_ising
+    from image_generation_tpu.ops.gibbs import permuted_model
+
+    t = Trainer(config=tiny_config())
+    t.train_init(n_epochs=1)
+
+    def check(state):
+        h, j = scaled_ising(
+            state.grbm_params, t.config.PREFACTOR, t.config.H_RANGE, t.config.J_RANGE
+        )
+        hp, cp = permuted_model(t.plan, h, j)
+        np.testing.assert_allclose(np.asarray(state.sampler_h), np.asarray(hp), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(state.sampler_coupling), np.asarray(cp), atol=1e-7
+        )
+
+    check(t.state)
+    t.step(t.images[:16], epoch=0)  # scheduled GRBM step (opt_step 0)
+    check(t.state)
+    t.step(t.images[:16], epoch=0)  # unscheduled
+    check(t.state)
+
+
 def test_persistent_chains_carry_state():
     t = Trainer(config=tiny_config())
     t.train_init(n_epochs=1)
     c0 = np.asarray(t.state.chains).copy()
     t.step(t.images[:16], epoch=0)
     c1 = np.asarray(t.state.chains)
-    assert c0.shape == c1.shape == (64, 32)
+    assert c0.shape == c1.shape == (64, t.plan.n_pad)
+    assert t.plan.n_pad % 128 == 0
     assert not np.array_equal(c0, c1)  # chains advanced
     assert set(np.unique(c1)) <= {-1.0, 1.0}
 
