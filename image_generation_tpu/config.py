@@ -51,6 +51,10 @@ class TrainingConfig:
     N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
     COMPUTE_DTYPE: str = "bfloat16"  # conv/dense compute precision on TPU;
     # parameters, BatchNorm stats, losses and the sampler stay float32
+    USE_PALLAS: str = "auto"  # "auto" | "on" | "off" — fused Pallas Gibbs
+    # kernel for the training-step negative phase. auto = on for TPU
+    # backends when the problem fits VMEM; the sharded multi-chip path uses
+    # the XLA sampler (pallas+GSPMD partitioning lands with shard_map)
 
     # --- model/problem shape (reference passes these via ModelWrapper args) ---
     QPU: str = "Advantage2_system1"

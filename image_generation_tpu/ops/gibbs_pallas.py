@@ -1,0 +1,199 @@
+"""Pallas TPU kernel: fused multi-sweep colored block-Gibbs.
+
+The pure-JAX sampler (ops/gibbs.py) lowers each color update to separate XLA
+ops with HBM round-trips between them.  This kernel fuses an entire
+``n_sweeps``-sweep run into ONE Pallas program that keeps everything
+resident in VMEM:
+
+  * spins (chains × n_pad), the permuted coupling matrix (n_pad × n_pad),
+    fields and per-chain β all live in VMEM for the whole kernel;
+  * per color block: fields = spins @ A[:, c0:c1] on the MXU (static slice),
+    Bernoulli draws from the on-core PRNG (pltpu.prng_random_bits), and a
+    static sub-slice store — no gathers, no scatters, no HBM traffic inside
+    the sweep loop;
+  * the spin buffer is input/output aliased, so persistent (PCD) chains
+    update in place.
+
+VMEM budget: coupling (n_pad² · 4B) + spins (chains · n_pad · 4B) + a fields
+block.  With the ~16 MB/core VMEM this covers n_pad ≤ ~1536 at 256 chains —
+the reference's full operating range (256-512 latents).  Larger graphs use
+the chain-blocked grid (each program instance takes a slice of chains;
+coupling is re-streamed per instance) or fall back to the XLA path.
+
+Correctness is validated against exact enumeration (interpret mode on CPU,
+tests/test_gibbs_pallas.py) and against the XLA sampler on TPU.
+
+Uniform variates from raw bits: u = (bits >> 8) · 2⁻²⁴ ∈ [0, 1) with 24-bit
+resolution — the standard float32 trick.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from image_generation_tpu.ops.gibbs import GibbsPlan
+
+__all__ = ["gibbs_sweeps_pallas", "supported_by_pallas"]
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
+
+
+def supported_by_pallas(plan: GibbsPlan, n_chains: int, chain_block: int = 256) -> bool:
+    """Whether the single-program VMEM layout fits this problem."""
+    if plan.n_pad % 128 != 0:
+        return False
+    block = min(n_chains, chain_block)
+    coupling_bytes = plan.n_pad * plan.n_pad * 4
+    spins_bytes = block * plan.n_pad * 4
+    fields_bytes = block * max(c1 - c0 for c0, _, c1 in plan.blocks) * 4
+    return coupling_bytes + spins_bytes + 3 * fields_bytes < _VMEM_BUDGET
+
+
+def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for):
+    """One full sweep over the color blocks; ``uniform_for(c0, c1)`` supplies
+    the (chains, width) uniforms for a block."""
+    for c0, _valid, c1 in plan.blocks:
+        fields = jnp.dot(
+            spins_ref[:],
+            coupling_ref[:, c0:c1],
+            preferred_element_type=jnp.float32,
+        )
+        fields = fields + h_ref[0, c0:c1]
+        p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
+        u = uniform_for(c0, c1)
+        spins_ref[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0)
+
+
+def _kernel(plan: GibbsPlan, n_sweeps: int, seed_ref, h_ref, beta_ref, coupling_ref,
+            spins_in_ref, spins_out_ref):
+    # decorrelate grid instances: each chain block gets its own stream
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    spins_out_ref[:] = spins_in_ref[:]
+    chains = spins_out_ref.shape[0]
+
+    def uniform_for(c0, c1):
+        bits = pltpu.bitcast(pltpu.prng_random_bits((chains, c1 - c0)), jnp.uint32)
+        # logical shift keeps 24 bits → reinterpret as (positive) int32,
+        # which Mosaic can cast to f32 (uint32→f32 is unsupported)
+        top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+        return top24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+    def sweep(_, carry):
+        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref, uniform_for)
+        return carry
+
+    jax.lax.fori_loop(0, n_sweeps, sweep, 0)
+
+
+def _kernel_fed(plan: GibbsPlan, n_sweeps: int, h_ref, beta_ref, coupling_ref,
+                uniforms_ref, spins_in_ref, spins_out_ref):
+    """Test variant: uniforms supplied as an input (n_sweeps, chains, n_pad).
+
+    Exists because the TPU *interpreter* stubs ``prng_random_bits`` to zeros
+    (verified on jax 0.9), so interpret-mode statistical tests must inject
+    host-generated uniforms.  The compiled on-chip path uses ``_kernel``.
+    """
+    spins_out_ref[:] = spins_in_ref[:]
+
+    def sweep(i, carry):
+        def uniform_for(c0, c1):
+            return uniforms_ref[i, :, c0:c1]
+
+        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref, uniform_for)
+        return carry
+
+    jax.lax.fori_loop(0, n_sweeps, sweep, 0)
+
+
+def gibbs_sweeps_pallas(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
+    plan: GibbsPlan,
+    spins_p: jax.Array,
+    n_sweeps: int,
+    beta: jax.Array | float = 1.0,
+    chain_block: int = 256,
+    interpret: bool = False,
+    uniforms: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Drop-in replacement for ``ops.gibbs.gibbs_sweeps`` (same contract).
+
+    Chains are split into ``chain_block``-row grid instances (independent
+    chains → embarrassingly parallel over the grid); each instance runs the
+    full sweep loop in VMEM.
+
+    ``uniforms``: optional (n_sweeps, chains, n_pad) pre-generated uniforms
+    — the test/interpret path (the TPU interpreter stubs the on-core PRNG).
+    When None, the on-core hardware PRNG is used.
+    """
+    n_chains, n_pad = spins_p.shape
+    assert n_pad == plan.n_pad
+    block = min(chain_block, n_chains)
+    if n_chains % block != 0:
+        block = n_chains  # odd chain counts: single block
+    grid = n_chains // block
+
+    beta_arr = jnp.broadcast_to(
+        jnp.asarray(beta, jnp.float32).reshape(-1, 1), (n_chains, 1)
+    ).astype(jnp.float32)
+    h2d = hp.reshape(1, -1).astype(jnp.float32)
+
+    flops_per_sweep = 2 * block * n_pad * n_pad
+    if interpret is True:
+        # plain HLO interpretation has no rule for the TPU PRNG primitives;
+        # the TPU interpreter (TPU semantics, race detection) does
+        interpret = pltpu.InterpretParams()
+    common = dict(
+        grid=(grid,),
+        out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=grid * n_sweeps * flops_per_sweep,
+            bytes_accessed=grid * (n_pad * n_pad * 4 + 2 * block * n_pad * 4),
+            transcendentals=grid * n_sweeps * block * n_pad,
+        ),
+        interpret=interpret,
+    )
+    h_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    coupling_spec = pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    if uniforms is not None:
+        assert uniforms.shape == (n_sweeps, n_chains, n_pad)
+        kernel = functools.partial(_kernel_fed, plan, n_sweeps)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                h_spec,
+                beta_spec,
+                coupling_spec,
+                pl.BlockSpec(
+                    (n_sweeps, block, n_pad), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+                spins_spec,
+            ],
+            **common,
+        )(h2d, beta_arr, coupling_p.astype(jnp.float32),
+          uniforms.astype(jnp.float32), spins_p.astype(jnp.float32))
+
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    kernel = functools.partial(_kernel, plan, n_sweeps)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            h_spec,
+            beta_spec,
+            coupling_spec,
+            spins_spec,
+        ],
+        **common,
+    )(seed, h2d, beta_arr, coupling_p.astype(jnp.float32), spins_p.astype(jnp.float32))

@@ -59,6 +59,7 @@ from image_generation_tpu.ops.gibbs import (
     random_spins,
     to_original,
 )
+from image_generation_tpu.ops.gibbs_pallas import gibbs_sweeps_pallas, supported_by_pallas
 from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
 from image_generation_tpu.training.schedules import geomspace_lr
 
@@ -147,6 +148,17 @@ def make_train_fns(
         optax.add_decayed_weights(cfg.BM_WEIGHT_DECAY), optax.scale_by_adam()
     )
 
+    use_pallas = cfg.USE_PALLAS == "on" or (
+        cfg.USE_PALLAS == "auto"
+        and jax.default_backend() == "tpu"
+        and supported_by_pallas(plan, cfg.NUM_READS)
+    )
+
+    def run_sweeps(key, hp, coupling_p, chains, n_sweeps):
+        if use_pallas:
+            return gibbs_sweeps_pallas(key, hp, coupling_p, plan, chains, n_sweeps)
+        return gibbs_sweeps(key, hp, coupling_p, plan, chains, n_sweeps)
+
     def build_sampler_model(grbm_params: GRBMParams):
         """(hp, coupling_p) of the prefactor-scaled, range-clipped model in
         padded/color-permuted coordinates."""
@@ -156,7 +168,7 @@ def make_train_fns(
     def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
         """Fresh-model path (init/generation): builds the model then sweeps."""
         hp, coupling_p = build_sampler_model(grbm_params)
-        return gibbs_sweeps(key, hp, coupling_p, plan, chains, n_sweeps)
+        return run_sweeps(key, hp, coupling_p, chains, n_sweeps)
 
     def init_fn(key: jax.Array, sample_image: jax.Array) -> TrainState:
         """sample_image: (1, S, S, 1) used only for shape-correct init."""
@@ -170,7 +182,7 @@ def make_train_fns(
         grbm_params = graph.init_params(k_grbm)
         hp, coupling_p = build_sampler_model(grbm_params)
         chains = random_spins(k_chains, plan, cfg.NUM_READS)
-        chains = gibbs_sweeps(k_burn, hp, coupling_p, plan, chains, cfg.GIBBS_BURN_IN)
+        chains = run_sweeps(k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN)
         return TrainState(
             dvae_params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -191,8 +203,8 @@ def make_train_fns(
         # uses the cached sampler model: grbm params are unchanged since the
         # last scheduled GRBM update, so (sampler_h, sampler_coupling) are
         # exactly scaled_ising(current params)
-        chains = gibbs_sweeps(
-            k_neg1, state.sampler_h, state.sampler_coupling, plan, state.chains,
+        chains = run_sweeps(
+            k_neg1, state.sampler_h, state.sampler_coupling, state.chains,
             cfg.GIBBS_SWEEPS,
         )
         samples = jax.lax.stop_gradient(to_original(plan, chains))
@@ -230,7 +242,7 @@ def make_train_fns(
             grbm_params, grbm_opt, chains_in, hp, coupling_p = op
             # negative phase #2 — the reference's second QPU call per
             # scheduled step (inside nll_loss, src/losses.py:50-57)
-            chains2 = gibbs_sweeps(k_neg2, hp, coupling_p, plan, chains_in, cfg.GIBBS_SWEEPS)
+            chains2 = run_sweeps(k_neg2, hp, coupling_p, chains_in, cfg.GIBBS_SWEEPS)
             model_spins = to_original(plan, chains2)
             grads = nll_grads(graph, data_spins, model_spins)
             updates, opt2 = grbm_tx.update(grads, grbm_opt, grbm_params)
