@@ -35,6 +35,12 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes, CPU-friendly")
+    ap.add_argument(
+        "--scaled",
+        action="store_true",
+        help="scaled-GRBM config: full-Advantage Pegasus latent (5640 spins), "
+        "32-temperature parallel-tempering ladder (BASELINE.md scaled target)",
+    )
     ap.add_argument("--steps", type=int, default=None, help="timed steps")
     ap.add_argument("--batch-size", type=int, default=None)
     args = ap.parse_args()
@@ -55,6 +61,22 @@ def main():
         )
         full = zephyr_graph(4)
         steps = args.steps or 8
+    elif args.scaled:
+        from image_generation_tpu.utils.topology import pegasus_graph
+
+        full = pegasus_graph(16)  # ideal Advantage fabric: 5640 qubits
+        cfg = TrainingConfig(
+            N_LATENTS=full.number_of_nodes(),
+            NUM_READS=64,
+            BATCH_SIZE=args.batch_size or 256,
+            N_REPLICAS=2,
+            SAMPLER="pt",
+            PT_NUM_BETAS=32,
+            PT_BETA_MIN=0.2,
+            GIBBS_SWEEPS=4,
+            GIBBS_BURN_IN=4,
+        )
+        steps = args.steps or 4
     else:
         cfg = TrainingConfig(BATCH_SIZE=args.batch_size or 128)
         full = graph_for_qpu(cfg.QPU)  # Zephyr Z15 (Advantage2_system1)
@@ -120,8 +142,13 @@ def main():
         f"{cfg.NUM_READS * 64 / dt_s:,.0f} chain-sweeps/sec "
         f"(first call incl. compile {t_compile_and_run:.2f}s)")
 
+    metric = "mnist_dvae_train_images_per_sec_per_chip"
+    if args.scaled:
+        metric = "scaled_pegasus5640_pt32_train_images_per_sec_per_chip"
+    elif args.quick:
+        metric = "quick_train_images_per_sec"
     print(json.dumps({
-        "metric": "mnist_dvae_train_images_per_sec_per_chip",
+        "metric": metric,
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 4),

@@ -80,9 +80,12 @@ def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
 
 
 def cmd_train(args):
+    from image_generation_tpu.training.observability import MetricsLog
+
     trainer = _build_trainer(args)
     trainer.train_init(args.epochs)
     files = _attach_files(trainer, args)
+    metrics = MetricsLog(Path(args.workdir) / "generated_json" / "metrics.jsonl")
     print(
         f"training: qpu={trainer.qpu} latents={trainer.n_latents} "
         f"edges={trainer.graph.n_edges} data={trainer.data_source.origin} "
@@ -92,6 +95,8 @@ def cmd_train(args):
     trainer.train(
         args.epochs,
         epoch_cb=lambda e, s: _epoch_artifacts(trainer, files, e, s, args.epochs),
+        metrics_log=metrics,
+        profile_dir=args.profile,
     )
     out = Path(args.workdir) / "models" / args.name
     trainer.save(out, n_epochs=args.epochs)
@@ -154,6 +159,7 @@ def main(argv=None):
     common.add_argument("--batch-size", type=int, default=None)
     common.add_argument("--sweeps", type=int, default=None, help="Gibbs sweeps per refresh")
     common.add_argument("--params", default=None, help="training parameters YAML")
+    common.add_argument("--profile", default=None, help="jax.profiler trace directory")
 
     p = sub.add_parser("train", parents=[common])
     p.add_argument("--name", required=True)

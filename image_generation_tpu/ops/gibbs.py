@@ -213,6 +213,7 @@ def pt_round(
     spins_p: jax.Array,
     betas: jax.Array,
     sweeps_per_round: int,
+    sweeps_fn=None,
 ) -> jax.Array:
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
@@ -226,10 +227,12 @@ def pt_round(
     """
     t_dim, c_dim, n_pad = spins_p.shape
     k_sweep, k_even, k_odd = jax.random.split(key, 3)
+    if sweeps_fn is None:
+        sweeps_fn = gibbs_sweeps
 
     flat = spins_p.reshape(t_dim * c_dim, n_pad)
     beta_per_chain = jnp.repeat(betas, c_dim)
-    flat = gibbs_sweeps(k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain)
+    flat = sweeps_fn(k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain)
     spins_p = flat.reshape(t_dim, c_dim, n_pad)
 
     def swap_pass(s, k, parity):

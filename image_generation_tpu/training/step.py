@@ -56,6 +56,7 @@ from image_generation_tpu.ops.gibbs import (
     build_plan,
     gibbs_sweeps,
     permuted_model,
+    pt_round,
     random_spins,
     to_original,
 )
@@ -153,11 +154,32 @@ def make_train_fns(
         and jax.default_backend() == "tpu"
         and supported_by_pallas(plan, cfg.NUM_READS)
     )
+    pt_mode = cfg.SAMPLER == "pt"
+    betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
+
+    def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
+        if use_pallas:
+            return gibbs_sweeps_pallas(key, hp, coupling_p, plan_, chains, n_sweeps, beta)
+        return gibbs_sweeps(key, hp, coupling_p, plan_, chains, n_sweeps, beta)
 
     def run_sweeps(key, hp, coupling_p, chains, n_sweeps):
-        if use_pallas:
-            return gibbs_sweeps_pallas(key, hp, coupling_p, plan, chains, n_sweeps)
-        return gibbs_sweeps(key, hp, coupling_p, plan, chains, n_sweeps)
+        """One negative-phase refresh of the persistent chain state.
+
+        Plain mode: ``n_sweeps`` Gibbs sweeps of (NUM_READS, n_pad) chains.
+        PT mode (SAMPLER="pt"): chains are a (PT_NUM_BETAS, NUM_READS, n_pad)
+        temperature ladder; each refresh is one PT round (n_sweeps Gibbs
+        sweeps at every temperature + even/odd replica exchange).
+        """
+        if pt_mode:
+            return pt_round(
+                key, hp, coupling_p, plan, chains, betas, n_sweeps, sweeps_fn=sweeps_fn
+            )
+        return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps)
+
+    def chain_samples(chains):
+        """(NUM_READS, n) target-distribution samples in original coords."""
+        target = chains[-1] if pt_mode else chains
+        return to_original(plan, target)
 
     def build_sampler_model(grbm_params: GRBMParams):
         """(hp, coupling_p) of the prefactor-scaled, range-clipped model in
@@ -181,7 +203,12 @@ def make_train_fns(
         )
         grbm_params = graph.init_params(k_grbm)
         hp, coupling_p = build_sampler_model(grbm_params)
-        chains = random_spins(k_chains, plan, cfg.NUM_READS)
+        if cfg.SAMPLER == "pt":
+            chains = random_spins(
+                k_chains, plan, cfg.PT_NUM_BETAS * cfg.NUM_READS
+            ).reshape(cfg.PT_NUM_BETAS, cfg.NUM_READS, plan.n_pad)
+        else:
+            chains = random_spins(k_chains, plan, cfg.NUM_READS)
         chains = run_sweeps(k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN)
         return TrainState(
             dvae_params=variables["params"],
@@ -207,7 +234,7 @@ def make_train_fns(
             k_neg1, state.sampler_h, state.sampler_coupling, state.chains,
             cfg.GIBBS_SWEEPS,
         )
-        samples = jax.lax.stop_gradient(to_original(plan, chains))
+        samples = jax.lax.stop_gradient(chain_samples(chains))
 
         # ---- DVAE forward + MSE + MMD, backward ----
         def loss_fn(dvae_params):
@@ -243,7 +270,7 @@ def make_train_fns(
             # negative phase #2 — the reference's second QPU call per
             # scheduled step (inside nll_loss, src/losses.py:50-57)
             chains2 = run_sweeps(k_neg2, hp, coupling_p, chains_in, cfg.GIBBS_SWEEPS)
-            model_spins = to_original(plan, chains2)
+            model_spins = chain_samples(chains2)
             grads = nll_grads(graph, data_spins, model_spins)
             updates, opt2 = grbm_tx.update(grads, grbm_opt, grbm_params)
             lr_g = grbm_lr(state.opt_step)
@@ -298,9 +325,25 @@ def make_train_fns(
     def sample_fn(key: jax.Array, grbm_params: GRBMParams, num_reads: int, n_sweeps: int):
         """Standalone sampler call for generation (grbm.sample equivalent).
 
-        Returns (num_reads, n) spins in original coordinates.
+        Returns (num_reads, n) spins in original coordinates.  In PT mode a
+        fresh temperature ladder is burned in and the target row returned.
         """
         k1, k2 = jax.random.split(key)
+        if pt_mode:
+            ladder = random_spins(k1, plan, cfg.PT_NUM_BETAS * num_reads).reshape(
+                cfg.PT_NUM_BETAS, num_reads, plan.n_pad
+            )
+            hp, coupling_p = build_sampler_model(grbm_params)
+            n_rounds = max(1, n_sweeps // max(cfg.GIBBS_SWEEPS, 1))
+
+            def round_fn(s, k):
+                return pt_round(
+                    k, hp, coupling_p, plan, s, betas, cfg.GIBBS_SWEEPS,
+                    sweeps_fn=sweeps_fn,
+                ), None
+
+            ladder, _ = jax.lax.scan(round_fn, ladder, jax.random.split(k2, n_rounds))
+            return to_original(plan, ladder[-1])
         chains = random_spins(k1, plan, num_reads)
         return to_original(plan, refresh_chains(k2, grbm_params, chains, n_sweeps))
 

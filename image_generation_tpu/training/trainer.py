@@ -165,21 +165,35 @@ class Trainer:
         n_epochs: int,
         progress_cb: Optional[Callable[[int, int], None]] = None,
         epoch_cb: Optional[Callable[[int, dict], None]] = None,
+        metrics_log=None,
+        profile_dir: Optional[str] = None,
     ) -> dict:
         """Full training run (the reference's ``execute_training`` epoch loop,
         src/utils/callback_helpers.py:144-221, minus the UI file writes which
-        live in app/)."""
+        live in app/).
+
+        ``metrics_log``: optional observability.MetricsLog for per-epoch JSONL;
+        ``profile_dir``: optional jax.profiler trace output directory.
+        """
+        from image_generation_tpu.training.observability import profile
+
         if not self._init_done or self._n_epochs != n_epochs:
             self.train_init(n_epochs)
-        t0 = time.perf_counter()
-        for epoch in range(n_epochs):
-            stats = self.train_epoch(epoch)
-            stats["epoch_time_s"] = time.perf_counter() - t0
+        with profile(profile_dir):
             t0 = time.perf_counter()
-            if progress_cb:
-                progress_cb(epoch + 1, n_epochs)
-            if epoch_cb:
-                epoch_cb(epoch, stats)
+            for epoch in range(n_epochs):
+                stats = self.train_epoch(epoch)
+                stats["epoch_time_s"] = time.perf_counter() - t0
+                stats["images_per_s"] = (
+                    self.n_batches * self.config.BATCH_SIZE / stats["epoch_time_s"]
+                )
+                t0 = time.perf_counter()
+                if metrics_log is not None:
+                    metrics_log.log("epoch", epoch=epoch, **stats)
+                if progress_cb:
+                    progress_cb(epoch + 1, n_epochs)
+                if epoch_cb:
+                    epoch_cb(epoch, stats)
         return {
             "final_mse": self.losses["mse_losses"][-1],
             "final_dvae_loss": self.losses["dvae_losses"][-1],

@@ -52,6 +52,8 @@ def greedy_get_subgraph(
             f"requested {n_nodes} nodes from a graph with "
             f"{graph.number_of_nodes()} nodes"
         )
+    if n_nodes == graph.number_of_nodes():
+        return graph.copy()  # whole-fabric latent (the scaled-GRBM config)
     rng = random.Random(random_seed)
     nodes = list(graph.nodes())
     max_degree = max(graph.degree(n) for n in nodes)
