@@ -70,8 +70,14 @@ def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
         trainer.losses["mse_losses"],
         trainer.losses["dvae_losses"],
     )
-    files.write_latent_encoded(gen["latents"][0])
+    files.write_latent_qpu(gen["latents"][0])
     files.write_progress(epoch + 1, n_epochs)
+    from image_generation_tpu.app import ui_config
+    from image_generation_tpu.app.diagram import generate_model_diagram
+
+    if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
+        example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
+        generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
     print(
         f"epoch {epoch + 1}/{n_epochs}: mse={stats['mse']:.4f} "
         f"total={stats['dvae_loss']:.4f} ({stats['epoch_time_s']:.1f}s)",
@@ -160,6 +166,12 @@ def main(argv=None):
     common.add_argument("--sweeps", type=int, default=None, help="Gibbs sweeps per refresh")
     common.add_argument("--params", default=None, help="training parameters YAML")
     common.add_argument("--profile", default=None, help="jax.profiler trace directory")
+    common.add_argument(
+        "--platform",
+        default=None,
+        help="force a JAX platform (e.g. cpu); env JAX_PLATFORMS alone does "
+        "not work where a sitecustomize overrides it via jax.config",
+    )
 
     p = sub.add_parser("train", parents=[common])
     p.add_argument("--name", required=True)
@@ -181,6 +193,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_models)
 
     args = ap.parse_args(argv)
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     t0 = time.perf_counter()
     args.fn(args)
     print(f"done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)

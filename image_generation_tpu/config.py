@@ -30,7 +30,8 @@ class TrainingConfig:
     RANDOM_SEED: int = 775321899904
     LOSS_FUNCTION: str = "mmd"
     N_REPLICAS: int = 8
-    LATENT_TO_DISCRETE: Optional[str] = None  # None | "heaviside"
+    LATENT_TO_DISCRETE: Optional[str] = None  # None (stochastic ST) | "heaviside" | "gumbel"
+    GUMBEL_TAU: float = 1.0  # relaxation temperature for the gumbel mode
     PREFACTOR: float = 0.05
     MAX_DEQUE_SIZE: int = 4096
     ITERATIONS_BEFORE_RESAMPLING: int = 100

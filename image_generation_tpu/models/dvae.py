@@ -51,6 +51,29 @@ def spins_straight_through(
     return soft + jax.lax.stop_gradient(hard - soft)
 
 
+def gumbel_spins(
+    logits: jax.Array, n_replicas: int, key: jax.Array, tau: float = 1.0
+) -> jax.Array:
+    """Relaxed ±1 spins via the logistic/Gumbel reparameterization.
+
+    The reference README describes this as the alternative to straight-
+    through ("adding Gumbel noise to the logits … reparameterises the
+    randomness source", README.md:159-166): with logistic noise
+    L = log U − log(1−U),   s = tanh((2ℓ + L) / τ) ∈ (−1, 1),
+    which converges to exact ±1 samples with p(+1) = σ(2ℓ) as τ → 0 and is
+    fully reparameterized (no stop-gradient needed).
+    """
+    u = jax.random.uniform(
+        key,
+        (logits.shape[0], n_replicas, logits.shape[1]),
+        dtype=logits.dtype,
+        minval=1e-6,
+        maxval=1.0 - 1e-6,
+    )
+    noise = jnp.log(u) - jnp.log1p(-u)
+    return jnp.tanh((2.0 * logits[:, None, :] + noise) / tau)
+
+
 def heaviside_spins(logits: jax.Array, n_replicas: int, key=None) -> jax.Array:
     """Deterministic sign(ℓ) spins (0 maps to −1) with ST gradients.
 
@@ -73,11 +96,12 @@ class DVAE(nn.Module):
     """
 
     n_latents: int
-    latent_to_discrete: Optional[str] = None  # None | "heaviside"
+    latent_to_discrete: Optional[str] = None  # None | "heaviside" | "gumbel"
+    gumbel_tau: float = 1.0
     dtype: object = jnp.float32  # conv/dense compute precision (bf16 on TPU)
 
     def setup(self):
-        if self.latent_to_discrete not in (None, "heaviside"):
+        if self.latent_to_discrete not in (None, "heaviside", "gumbel"):
             raise ValueError("Invalid Mode: Mode is not heaviside.")
         self.encoder = Encoder(n_latents=self.n_latents, dtype=self.dtype)
         self.decoder = Decoder(n_latents=self.n_latents, dtype=self.dtype)
@@ -86,9 +110,10 @@ class DVAE(nn.Module):
         logits = self.encoder(images, train=train)
         if self.latent_to_discrete == "heaviside":
             spins = heaviside_spins(logits, n_replicas)
+        elif self.latent_to_discrete == "gumbel":
+            spins = gumbel_spins(logits, n_replicas, self.make_rng("spins"), self.gumbel_tau)
         else:
-            key = self.make_rng("spins")
-            spins = spins_straight_through(logits, n_replicas, key)
+            spins = spins_straight_through(logits, n_replicas, self.make_rng("spins"))
         recon = self.decoder(spins, train=train)
         return logits, spins, recon
 

@@ -134,6 +134,7 @@ def make_train_fns(
     dvae = DVAE(
         n_latents=cfg.N_LATENTS,
         latent_to_discrete=cfg.LATENT_TO_DISCRETE,
+        gumbel_tau=cfg.GUMBEL_TAU,
         dtype=jnp.dtype(cfg.COMPUTE_DTYPE),
     )
     kernel = GaussianKernel(n_kernels=cfg.N_KERNELS)

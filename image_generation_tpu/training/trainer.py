@@ -167,6 +167,7 @@ class Trainer:
         epoch_cb: Optional[Callable[[int, dict], None]] = None,
         metrics_log=None,
         profile_dir: Optional[str] = None,
+        checkpoint_dir: Optional[str] = None,
     ) -> dict:
         """Full training run (the reference's ``execute_training`` epoch loop,
         src/utils/callback_helpers.py:144-221, minus the UI file writes which
@@ -190,6 +191,8 @@ class Trainer:
                 t0 = time.perf_counter()
                 if metrics_log is not None:
                     metrics_log.log("epoch", epoch=epoch, **stats)
+                if checkpoint_dir is not None:
+                    self.save_native(checkpoint_dir)
                 if progress_cb:
                     progress_cb(epoch + 1, n_epochs)
                 if epoch_cb:
@@ -256,6 +259,36 @@ class Trainer:
         )
         self.state = self.fns.rebuild_sampler(state)
         self._init_done = True
+
+    def save_native(self, directory) -> None:
+        """Orbax checkpoint of the FULL train state (optimizers, chains,
+        RNG, step counter) — exact resume, which the reference's
+        weights-only format cannot do (SURVEY.md §5).  Loss history is
+        saved alongside."""
+        import json as _json
+
+        from image_generation_tpu.io.native_ckpt import save_train_state
+
+        path = save_train_state(directory, self.state)
+        (path.parent / f"losses_{path.name}.json").write_text(_json.dumps(self.losses))
+
+    def resume_native(self, directory, n_epochs: int) -> int:
+        """Resume an interrupted run: rebuild functions for ``n_epochs`` and
+        restore the latest full state + loss history.  Returns the restored
+        opt_step."""
+        import json as _json
+        from pathlib import Path as _Path
+
+        from image_generation_tpu.io.native_ckpt import latest_step, restore_train_state
+
+        if not self._init_done:
+            self.train_init(n_epochs)
+        self.state = restore_train_state(directory, self.state)
+        step = latest_step(directory)
+        losses_file = _Path(directory) / f"losses_step_{step:08d}.json"
+        if losses_file.exists():
+            self.losses = _json.loads(losses_file.read_text())
+        return int(self.state.opt_step)
 
     # ------------------------------------------------------------------
     # generation / evaluation (reference: model_wrapper.py:355-491)

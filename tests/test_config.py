@@ -1,0 +1,59 @@
+"""Config schema tests: YAML round-trip and reference-key compatibility."""
+
+import pathlib
+
+from image_generation_tpu.config import TrainingConfig
+
+PKG_YAML = pathlib.Path("image_generation_tpu/training_parameters.yaml")
+
+
+def test_defaults_match_reference_values():
+    c = TrainingConfig()
+    assert c.NUM_READS == 256
+    assert c.BATCH_SIZE == 128
+    assert c.N_REPLICAS == 8
+    assert c.PREFACTOR == 0.05
+    assert c.RANDOM_SEED == 775321899904
+    assert c.AUTOENCODER_INITIAL_LR == 1e-4
+    assert c.BM_FINAL_LR == 1e-4
+    assert c.LOSS_FUNCTION == "mmd"
+
+
+def test_packaged_yaml_loads_and_matches_defaults():
+    c = TrainingConfig.from_yaml(PKG_YAML)
+    d = TrainingConfig()
+    assert c.NUM_READS == d.NUM_READS
+    assert c.BATCH_SIZE == d.BATCH_SIZE
+    assert c.LATENT_TO_DISCRETE == d.LATENT_TO_DISCRETE
+    assert c.SAMPLER == d.SAMPLER
+
+
+def test_reference_yaml_file_loads():
+    """A parameter file written for the reference app loads unchanged
+    (unknown keys ignored, known keys honored)."""
+    ref = pathlib.Path("/root/reference/src/training_parameters.yaml")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference not mounted")
+    c = TrainingConfig.from_yaml(ref)
+    assert c.NUM_READS == 256
+    assert c.N_REPLICAS == 8
+    assert c.MAX_DEQUE_SIZE == 4096
+
+
+def test_yaml_roundtrip(tmp_path):
+    c = TrainingConfig(N_LATENTS=64, SAMPLER="pt", PT_NUM_BETAS=16)
+    c.to_yaml(tmp_path / "p.yaml")
+    c2 = TrainingConfig.from_yaml(tmp_path / "p.yaml")
+    assert c2.N_LATENTS == 64
+    assert c2.SAMPLER == "pt"
+    assert c2.PT_NUM_BETAS == 16
+    assert tuple(c2.H_RANGE) == (-4.0, 4.0)
+
+
+def test_overrides_win(tmp_path):
+    c = TrainingConfig(BATCH_SIZE=999)
+    c.to_yaml(tmp_path / "p.yaml")
+    c2 = TrainingConfig.from_yaml(tmp_path / "p.yaml", BATCH_SIZE=16)
+    assert c2.BATCH_SIZE == 16
