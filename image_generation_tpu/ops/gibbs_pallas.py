@@ -146,9 +146,12 @@ def gibbs_sweeps_pallas(
     h2d = hp.reshape(1, -1).astype(jnp.float32)
 
     flops_per_sweep = 2 * block * n_pad * n_pad
-    if interpret is True:
+    if interpret is True and uniforms is None:
         # plain HLO interpretation has no rule for the TPU PRNG primitives;
-        # the TPU interpreter (TPU semantics, race detection) does
+        # the TPU interpreter (TPU semantics, race detection) does.  The
+        # fed-uniforms kernel has no TPU-only primitives and keeps the plain
+        # interpreter (which also composes with shard_map, where the TPU
+        # interpreter deadlocks).
         interpret = pltpu.InterpretParams()
     common = dict(
         grid=(grid,),
@@ -197,3 +200,67 @@ def gibbs_sweeps_pallas(
         ],
         **common,
     )(seed, h2d, beta_arr, coupling_p.astype(jnp.float32), spins_p.astype(jnp.float32))
+
+
+def gibbs_sweeps_pallas_sharded(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
+    plan: GibbsPlan,
+    spins_p: jax.Array,
+    n_sweeps: int,
+    mesh,
+    beta: jax.Array | float = 1.0,
+    chain_axes=("data", "chain"),
+    **kwargs,
+) -> jax.Array:
+    """Multi-chip wrapper: chains row-sharded over ``chain_axes``, the model
+    (hp, coupling) replicated, each shard running the fused kernel locally.
+
+    Chains are independent, so the sharded sweep needs ZERO inter-chip
+    communication — this is the chain-parallel axis of SURVEY.md §2c.  Each
+    shard folds its mesh position into the key so streams decorrelate.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    axes = tuple(a for a in chain_axes if a in mesh.axis_names)
+    beta_arr = jnp.broadcast_to(
+        jnp.asarray(beta, jnp.float32).reshape(-1), (spins_p.shape[0],)
+    )
+    uniforms = kwargs.pop("uniforms", None)
+
+    def local(key, hp, coupling_p, spins_local, beta_local, uniforms_local):
+        idx = jnp.zeros((), jnp.int32)
+        for a in axes:
+            idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key, idx)
+        return gibbs_sweeps_pallas(
+            k, hp, coupling_p, plan, spins_local, n_sweeps, beta_local,
+            uniforms=uniforms_local, **kwargs
+        )
+
+    if uniforms is None:
+        # hardware-PRNG path: dummy sharded placeholder (ignored)
+        def local_hw(key, hp, coupling_p, spins_local, beta_local):
+            return local(key, hp, coupling_p, spins_local, beta_local, None)
+
+        return shard_map(
+            local_hw,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axes), P(axes)),
+            out_specs=P(axes),
+            check_vma=False,
+        )(key, hp, coupling_p, spins_p, beta_arr)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes), P(axes), P(None, axes)),
+        out_specs=P(axes),
+        check_vma=False,
+    )(key, hp, coupling_p, spins_p, beta_arr, uniforms)

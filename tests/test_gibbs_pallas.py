@@ -85,6 +85,24 @@ def test_pallas_beta_and_grid_blocks(tiny):
     assert not np.array_equal(np.asarray(out)[:64], np.asarray(out)[64:128])
 
 
+def test_pallas_kernel_race_free(tiny):
+    """TPU-interpreter race detection across grid instances (the framework's
+    sanitizer story — the reference has none, SURVEY.md §5)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=128)
+    hp, cp = permuted_model(plan, h, j)
+    key = jax.random.PRNGKey(11)
+    s0 = random_spins(key, plan, 128)
+    u = _uniforms(key, 4, 128, plan.n_pad)
+    out = gibbs_sweeps_pallas(
+        key, hp, cp, plan, s0, n_sweeps=4, chain_block=64, uniforms=u,
+        interpret=pltpu.InterpretParams(detect_races=True),
+    )
+    assert out.shape == s0.shape  # no race detected (would raise)
+
+
 def test_pallas_matches_xla_sampler_distribution(tiny):
     """Same model, same uniforms-style sampling: pallas and XLA samplers must
     agree in distribution (means within joint sampling noise)."""
