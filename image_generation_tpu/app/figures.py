@@ -123,3 +123,57 @@ def topology_figure(
 def write_figure(fig: dict, path) -> None:
     with open(path, "w") as f:
         json.dump(fig, f)
+
+
+_FULL_GRAPH_CACHE: dict = {}
+
+
+def model_topology_figure(model_dir, latent_values=None) -> dict:
+    """Topology figure for a saved model's latent coupling graph.
+
+    Rebuilds the reference's "Machine Learning Model" tab graphs
+    (src/utils/callback_helpers.py:344-381): the model's GRBM graph drawn at
+    its physical QPU coordinates (when ``physical_nodes`` was persisted by
+    this framework's Trainer) with nodes colored by ``latent_values`` (±1).
+    Falls back to a spring layout for reference-written checkpoints, which
+    lack the mapping.
+    """
+    import json as _json
+    from pathlib import Path
+
+    import networkx as nx
+
+    from image_generation_tpu.io.torch_pth import grbm_from_state_dict, load_state_dict
+    from image_generation_tpu.utils.topology import graph_for_qpu
+
+    model_dir = Path(model_dir)
+    _, graph = grbm_from_state_dict(load_state_dict(model_dir / "grbm.pth"))
+    g = graph.to_networkx()
+    meta = {}
+    pj = model_dir / "parameters.json"
+    if pj.exists():
+        meta = _json.loads(pj.read_text())
+
+    physical = meta.get("physical_nodes")
+    layout = None
+    if physical and len(physical) == graph.n:
+        qpu = meta.get("qpu", "Advantage2_system1")
+        full = _FULL_GRAPH_CACHE.get(qpu)
+        if full is None:
+            full = graph_for_qpu(qpu)
+            _FULL_GRAPH_CACHE[qpu] = full
+        pos = nx.get_node_attributes(full, "pos")
+        if all(p in pos for p in physical):
+            raw = {i: pos[p] for i, p in enumerate(physical)}
+            xs = [v[0] for v in raw.values()]
+            ys = [v[1] for v in raw.values()]
+            sx = (max(xs) - min(xs)) or 1.0
+            sy = (max(ys) - min(ys)) or 1.0
+            layout = {
+                i: ((x - min(xs)) / sx, (y - min(ys)) / sy)
+                for i, (x, y) in raw.items()
+            }
+    if layout is None:
+        layout = nx.spring_layout(g, seed=0)
+        layout = {k: (float(v[0]), float(v[1])) for k, v in layout.items()}
+    return topology_figure(g, layout, latent_values)

@@ -158,10 +158,18 @@ _PAGE = """<!doctype html>
       <svg id="svg-mse"></svg><svg id="svg-total"></svg>
     </div>
     <div id="res-diagram" style="display:none">
-      <img class="diagram" id="d1" alt="input"> →
-      <img class="diagram" id="d2" alt="encode"> →
-      <img class="diagram" id="d4" alt="decode"> →
-      <img class="diagram" id="d5" alt="output">
+      <div>
+        <img class="diagram" id="d1" alt="input"> →
+        <img class="diagram" id="d2" alt="encode"> →
+        <img class="diagram" id="d4" alt="decode"> →
+        <img class="diagram" id="d5" alt="output">
+      </div>
+      <div style="display:flex;gap:8px;margin-top:8px">
+        <div style="flex:1"><div style="font-size:12px">Encoded latent on QPU graph</div>
+          <svg id="topo-encoded" style="height:340px"></svg></div>
+        <div style="flex:1"><div style="font-size:12px">Sampled latent on QPU graph</div>
+          <svg id="topo-qpu" style="height:340px"></svg></div>
+      </div>
     </div>
   </div>
 </div>
@@ -190,6 +198,22 @@ function drawHeatmap(canvasId, fig) {{
     img.data[k] = img.data[k+1] = img.data[k+2] = c; img.data[k+3] = 255;
   }}
   ctx.putImageData(img, 0, 0);
+}}
+function drawTopology(svgId, fig) {{
+  const svg = $(svgId); const W = svg.clientWidth || 500, H = svg.clientHeight || 340;
+  const edges = fig.data[0], nodes = fig.data[1];
+  const sx = x => 8 + x * (W - 16), sy = y => H - 8 - y * (H - 16);
+  let out = '';
+  for (let i = 0; i < edges.x.length; i += 3) {{
+    out += `<line x1="${{sx(edges.x[i])}}" y1="${{sy(edges.y[i])}}" ` +
+           `x2="${{sx(edges.x[i+1])}}" y2="${{sy(edges.y[i+1])}}" stroke="#ccc" stroke-width="0.5"/>`;
+  }}
+  const colors = nodes.marker.color;
+  for (let i = 0; i < nodes.x.length; i++) {{
+    out += `<circle cx="${{sx(nodes.x[i])}}" cy="${{sy(nodes.y[i])}}" r="3" ` +
+           `fill="${{Array.isArray(colors) ? colors[i] : colors}}"/>`;
+  }}
+  svg.innerHTML = out;
 }}
 function drawLine(svgId, fig, color) {{
   const ys = fig.data[0].y; if (!ys.length) return;
@@ -236,6 +260,11 @@ async function poll() {{
         ({{'1':'input','2':'encode','4':'decode','5':'output'}})[k] + `.png?e=${{epoch}}`;
     }});
     refreshModels();
+    const model = $('model').value || $('name').value;
+    for (const kind of ['encoded', 'qpu']) {{
+      const fig = await fetchJSON(`/api/topology/${{model}}/${{kind}}`);
+      if (fig && fig.data) drawTopology('topo-' + kind, fig);
+    }}
   }}
 }}
 function cfg() {{
@@ -342,6 +371,21 @@ def make_server(workdir=".", port: int = 8050, extra_cli: list | None = None):
             if url.path == "/api/problem_details":
                 p = files.dir / "problem_details.json"
                 return self._json(json.loads(p.read_text()) if p.exists() else {})
+            if len(parts) == 4 and parts[:2] == ["api", "topology"]:
+                # /api/topology/<model>/<encoded|qpu>
+                model = workdir / "models" / parts[2]
+                if not (model / "grbm.pth").exists():
+                    return self._json({"error": "unknown model"}, 404)
+                values = None
+                vf = workdir / "assets" / "model_diagram" / f"latent_{parts[3]}.json"
+                if vf.exists():
+                    try:
+                        values = json.loads(vf.read_text())
+                    except json.JSONDecodeError:
+                        values = None
+                from image_generation_tpu.app.figures import model_topology_figure
+
+                return self._json(model_topology_figure(model, values))
             if parts and parts[0] == "assets":
                 f = workdir.joinpath(*parts)
                 if f.is_file() and f.resolve().is_relative_to(workdir):

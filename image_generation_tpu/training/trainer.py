@@ -75,6 +75,7 @@ class Trainer:
         self.images = None
         self.data_source = None
         self.losses = {"mse_losses": [], "dvae_losses": []}
+        self.physical_nodes = None  # physical qubit id per logical spin
         self._n_epochs = 0
         self._init_done = False
         self._key = jax.random.PRNGKey(config.RANDOM_SEED)
@@ -93,9 +94,13 @@ class Trainer:
         if cfg.LATENT_TO_DISCRETE == "heaviside" and cfg.N_REPLICAS != 1:
             raise ValueError("heaviside latent-to-discrete can only be used with n_replicas=1")
         full = graph_for_qpu(self.qpu)
-        latent, _ = select_latent_graph(full, self.n_latents, cfg.RANDOM_SEED)
+        latent, mapping = select_latent_graph(full, self.n_latents, cfg.RANDOM_SEED)
         self.graph = GRBMGraph.from_networkx(latent)
         self.plan = build_plan(self.graph)
+        # physical qubit id per logical spin (for UI topology plots)
+        self.physical_nodes = [None] * len(mapping)
+        for phys, logical in mapping.items():
+            self.physical_nodes[logical] = phys
 
     def _load_dataset(self) -> None:
         cfg = self.config
@@ -225,6 +230,10 @@ class Trainer:
             dataset_size=cfg.DATASET_SIZE,
             random_seed=cfg.RANDOM_SEED,
         )
+        if self.physical_nodes is not None:
+            # extra key (ignored by the reference app): lets the UI draw the
+            # latent graph at its physical QPU coordinates after a load
+            parameters["physical_nodes"] = [int(p) for p in self.physical_nodes]
         return save_model_dir(
             file_path,
             self.state.dvae_params,
@@ -246,6 +255,7 @@ class Trainer:
             self.config = self.config.replace(N_LATENTS=self.n_latents)
             if parameters.get("qpu"):
                 self.qpu = parameters["qpu"]
+            self.physical_nodes = parameters.get("physical_nodes")
         self.graph = graph
         self.plan = build_plan(graph)
         self.losses = losses
