@@ -162,6 +162,7 @@ def gibbs_sweeps(
     spins_p: jax.Array,
     n_sweeps: int,
     beta: jax.Array | float = 1.0,
+    matmul_dtype=None,
 ) -> jax.Array:
     """Run ``n_sweeps`` systematic color-scan Gibbs sweeps (padded coords).
 
@@ -179,12 +180,22 @@ def gibbs_sweeps(
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     blocks = plan.blocks
     chains = spins_p.shape[0]
+    # ±1 spins and small couplings lose nothing statistically in bf16; the
+    # accumulation stays f32 (MXU-native). Halves HBM traffic on big graphs.
+    coupling_mm = coupling_p.astype(matmul_dtype) if matmul_dtype else coupling_p
 
     def sweep(s, k_sweep):
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
-            fields = s @ jax.lax.slice_in_dim(coupling_p, start, stop, axis=1)
+            # cast per color: fields must see this sweep's earlier updates
+            s_mm = s.astype(matmul_dtype) if matmul_dtype else s
+            fields = jax.lax.dot_general(
+                s_mm,
+                jax.lax.slice_in_dim(coupling_mm, start, stop, axis=1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             fields = fields + jax.lax.slice_in_dim(hp, start, stop)
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             u = jax.random.uniform(k, (chains, width), dtype=fields.dtype)
@@ -196,9 +207,24 @@ def gibbs_sweeps(
     return spins_p
 
 
-def ising_energies(hp: jax.Array, coupling_p: jax.Array, spins_p: jax.Array) -> jax.Array:
-    """E(s) = h·s + ½ sᵀ A s in padded coordinates (padding contributes 0)."""
-    return spins_p @ hp + 0.5 * jnp.sum(spins_p * (spins_p @ coupling_p), axis=-1)
+def ising_energies(
+    hp: jax.Array, coupling_p: jax.Array, spins_p: jax.Array, matmul_dtype=None
+) -> jax.Array:
+    """E(s) = h·s + ½ sᵀ A s in padded coordinates (padding contributes 0).
+
+    ``matmul_dtype``: optional bf16 for the sᵀA matmul (f32 accumulation) —
+    exact for ±1 spins up to coupling rounding; used by PT swap tests.
+    """
+    if matmul_dtype is not None:
+        sa = jax.lax.dot_general(
+            spins_p.astype(matmul_dtype),
+            coupling_p.astype(matmul_dtype),
+            dimension_numbers=(((spins_p.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        sa = spins_p @ coupling_p
+    return spins_p @ hp + 0.5 * jnp.sum(spins_p * sa, axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +240,7 @@ def pt_round(
     betas: jax.Array,
     sweeps_per_round: int,
     sweeps_fn=None,
+    matmul_dtype=None,
 ) -> jax.Array:
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
@@ -236,7 +263,7 @@ def pt_round(
     spins_p = flat.reshape(t_dim, c_dim, n_pad)
 
     def swap_pass(s, k, parity):
-        e = ising_energies(hp, coupling_p, s)  # (T, C)
+        e = ising_energies(hp, coupling_p, s, matmul_dtype)  # (T, C)
         delta = (betas[:-1] - betas[1:])[:, None] * (e[:-1] - e[1:])  # (T-1, C)
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]
@@ -265,6 +292,7 @@ def pt_sample(
     n_rounds: int,
     sweeps_per_round: int,
     init_spins: Optional[jax.Array] = None,
+    matmul_dtype=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full parallel-tempering run from (optionally persistent) chain state.
 
@@ -281,7 +309,10 @@ def pt_sample(
         )
 
     def round_fn(s, k):
-        return pt_round(k, hp, coupling_p, plan, s, betas, sweeps_per_round), None
+        return pt_round(
+            k, hp, coupling_p, plan, s, betas, sweeps_per_round,
+            matmul_dtype=matmul_dtype,
+        ), None
 
     spins_p, _ = jax.lax.scan(round_fn, init_spins, jax.random.split(key, n_rounds))
     return spins_p[-1], spins_p

@@ -57,10 +57,15 @@ def supported_by_pallas(plan: GibbsPlan, n_chains: int, chain_block: int = 256) 
 
 def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for):
     """One full sweep over the color blocks; ``uniform_for(c0, c1)`` supplies
-    the (chains, width) uniforms for a block."""
+    the (chains, width) uniforms for a block.
+
+    The coupling buffer may be bf16 (±1 spins are exact in bf16; couplings
+    lose nothing statistically): spins are cast to its dtype per block and
+    the MXU accumulates in f32.
+    """
     for c0, _valid, c1 in plan.blocks:
         fields = jnp.dot(
-            spins_ref[:],
+            spins_ref[:].astype(coupling_ref.dtype),
             coupling_ref[:, c0:c1],
             preferred_element_type=jnp.float32,
         )
@@ -122,6 +127,7 @@ def gibbs_sweeps_pallas(
     chain_block: int = 256,
     interpret: bool = False,
     uniforms: Optional[jax.Array] = None,
+    matmul_dtype=None,
 ) -> jax.Array:
     """Drop-in replacement for ``ops.gibbs.gibbs_sweeps`` (same contract).
 
@@ -132,6 +138,9 @@ def gibbs_sweeps_pallas(
     ``uniforms``: optional (n_sweeps, chains, n_pad) pre-generated uniforms
     — the test/interpret path (the TPU interpreter stubs the on-core PRNG).
     When None, the on-core hardware PRNG is used.
+
+    ``matmul_dtype``: dtype of the coupling buffer/matmuls (e.g. bf16 —
+    halves VMEM and HBM traffic; f32 accumulation either way).
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
@@ -167,6 +176,7 @@ def gibbs_sweeps_pallas(
     h_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     coupling_spec = pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    mm_dtype = matmul_dtype or jnp.float32
     spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     if uniforms is not None:
@@ -184,7 +194,7 @@ def gibbs_sweeps_pallas(
                 spins_spec,
             ],
             **common,
-        )(h2d, beta_arr, coupling_p.astype(jnp.float32),
+        )(h2d, beta_arr, coupling_p.astype(mm_dtype),
           uniforms.astype(jnp.float32), spins_p.astype(jnp.float32))
 
     seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
@@ -199,7 +209,7 @@ def gibbs_sweeps_pallas(
             spins_spec,
         ],
         **common,
-    )(seed, h2d, beta_arr, coupling_p.astype(jnp.float32), spins_p.astype(jnp.float32))
+    )(seed, h2d, beta_arr, coupling_p.astype(mm_dtype), spins_p.astype(jnp.float32))
 
 
 def gibbs_sweeps_pallas_sharded(

@@ -158,10 +158,20 @@ def make_train_fns(
     pt_mode = cfg.SAMPLER == "pt"
     betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
 
+    mm_dtype = (
+        jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
+        if cfg.SAMPLER_MATMUL_DTYPE != "float32"
+        else None
+    )
+
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
         if use_pallas:
-            return gibbs_sweeps_pallas(key, hp, coupling_p, plan_, chains, n_sweeps, beta)
-        return gibbs_sweeps(key, hp, coupling_p, plan_, chains, n_sweeps, beta)
+            return gibbs_sweeps_pallas(
+                key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
+            )
+        return gibbs_sweeps(
+            key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
+        )
 
     def run_sweeps(key, hp, coupling_p, chains, n_sweeps):
         """One negative-phase refresh of the persistent chain state.
@@ -173,7 +183,8 @@ def make_train_fns(
         """
         if pt_mode:
             return pt_round(
-                key, hp, coupling_p, plan, chains, betas, n_sweeps, sweeps_fn=sweeps_fn
+                key, hp, coupling_p, plan, chains, betas, n_sweeps,
+                sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
             )
         return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps)
 
@@ -340,7 +351,7 @@ def make_train_fns(
             def round_fn(s, k):
                 return pt_round(
                     k, hp, coupling_p, plan, s, betas, cfg.GIBBS_SWEEPS,
-                    sweeps_fn=sweeps_fn,
+                    sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
                 ), None
 
             ladder, _ = jax.lax.scan(round_fn, ladder, jax.random.split(k2, n_rounds))

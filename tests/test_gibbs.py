@@ -94,6 +94,23 @@ def test_gibbs_matches_exact_moments(tiny):
     np.testing.assert_allclose(m2, e2, atol=0.09)
 
 
+def test_gibbs_bf16_matmul_statistically_correct(tiny):
+    """bf16 field matmuls (f32 accumulation) must not shift the stationary
+    distribution — the default TPU configuration."""
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(21))
+    s0 = random_spins(k_init, plan, 2048)
+    s = gibbs_sweeps(
+        k_run, hp, cp, plan, s0, n_sweeps=60, matmul_dtype=jnp.bfloat16
+    )
+    m1, m2 = _empirical_moments(to_original(plan, s), graph)
+    e1, e2 = exact_moments(np.asarray(h), graph.edge_i, graph.edge_j, np.asarray(j))
+    np.testing.assert_allclose(m1, e1, atol=0.1)
+    np.testing.assert_allclose(m2, e2, atol=0.1)
+
+
 def test_gibbs_beta_scaling(tiny):
     """Sampling at β=2 must match exact moments of the doubled model."""
     graph, h, j = tiny

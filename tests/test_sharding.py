@@ -37,6 +37,7 @@ def tiny_cfg():
         # reduction-order epsilon can flip a sampled spin and legitimately
         # fork the trajectory
         COMPUTE_DTYPE="float32",
+        SAMPLER_MATMUL_DTYPE="float32",
     )
 
 
