@@ -79,11 +79,16 @@ def main():
         steps = args.steps or 4
     else:
         cfg = TrainingConfig(BATCH_SIZE=args.batch_size or 128)
-        full = graph_for_qpu(cfg.QPU)  # Zephyr Z15 (Advantage2_system1)
-        steps = args.steps or 64
+        full = None  # resolved via the graph cache below
+        steps = args.steps or 32
 
-    latent, _ = select_latent_graph(full, cfg.N_LATENTS, cfg.RANDOM_SEED)
-    graph = GRBMGraph.from_networkx(latent)
+    if full is None:
+        from image_generation_tpu.utils.graph_cache import cached_latent_graph
+
+        graph, _phys = cached_latent_graph(cfg.QPU, cfg.N_LATENTS, cfg.RANDOM_SEED)
+    else:
+        latent, _ = select_latent_graph(full, cfg.N_LATENTS, cfg.RANDOM_SEED)
+        graph = GRBMGraph.from_networkx(latent)
     log(f"config: latents={cfg.N_LATENTS} edges={graph.n_edges} "
         f"batch={cfg.BATCH_SIZE} replicas={cfg.N_REPLICAS} "
         f"reads={cfg.NUM_READS} sweeps={cfg.GIBBS_SWEEPS}")

@@ -52,9 +52,11 @@ class TrainingConfig:
     N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
     COMPUTE_DTYPE: str = "bfloat16"  # conv/dense compute precision on TPU;
     # parameters, BatchNorm stats, losses and the sampler stay float32
-    SAMPLER_MATMUL_DTYPE: str = "bfloat16"  # Gibbs field-matmul precision:
-    # ±1 spins are exact in bf16 and couplings lose nothing statistically;
-    # accumulation is always f32. "float32" for bit-level determinism tests.
+    SAMPLER_MATMUL_DTYPE: str = "auto"  # Gibbs field-matmul precision:
+    # "auto" = bf16 only for large graphs (n_pad ≥ 2048, where halved
+    # HBM/VMEM traffic beats the per-color cast cost), f32 otherwise;
+    # ±1 spins are exact in bf16 and accumulation is always f32.
+    # "float32" forces bit-level determinism (sharding-equivalence tests).
     USE_PALLAS: str = "auto"  # "auto" | "on" | "off" — fused Pallas Gibbs
     # kernel for the training-step negative phase. auto = on for TPU
     # backends when the problem fits VMEM; the sharded multi-chip path uses

@@ -158,11 +158,13 @@ def make_train_fns(
     pt_mode = cfg.SAMPLER == "pt"
     betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
 
-    mm_dtype = (
-        jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
-        if cfg.SAMPLER_MATMUL_DTYPE != "float32"
-        else None
-    )
+    if cfg.SAMPLER_MATMUL_DTYPE == "auto":
+        # bf16 pays only when coupling-matrix traffic dominates the cast cost
+        mm_dtype = jnp.bfloat16 if plan.n_pad >= 2048 else None
+    elif cfg.SAMPLER_MATMUL_DTYPE == "float32":
+        mm_dtype = None
+    else:
+        mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
         if use_pallas:

@@ -93,14 +93,14 @@ class Trainer:
         cfg = self.config
         if cfg.LATENT_TO_DISCRETE == "heaviside" and cfg.N_REPLICAS != 1:
             raise ValueError("heaviside latent-to-discrete can only be used with n_replicas=1")
-        full = graph_for_qpu(self.qpu)
-        latent, mapping = select_latent_graph(full, self.n_latents, cfg.RANDOM_SEED)
-        self.graph = GRBMGraph.from_networkx(latent)
+        from image_generation_tpu.utils.graph_cache import cached_latent_graph
+
+        # cache-first: full-fabric build + greedy selection is deterministic
+        # in (qpu, n_latents, seed) and costs ~a minute for Z15/P16
+        self.graph, self.physical_nodes = cached_latent_graph(
+            self.qpu, self.n_latents, cfg.RANDOM_SEED
+        )
         self.plan = build_plan(self.graph)
-        # physical qubit id per logical spin (for UI topology plots)
-        self.physical_nodes = [None] * len(mapping)
-        for phys, logical in mapping.items():
-            self.physical_nodes[logical] = phys
 
     def _load_dataset(self) -> None:
         cfg = self.config
