@@ -98,9 +98,22 @@ def cmd_train(args):
         f"batches/epoch={trainer.n_batches}",
         flush=True,
     )
+    every = max(args.artifact_every, 1)
+
+    def _cb(e, s):
+        if (e + 1) % every == 0 or e + 1 == args.epochs:
+            _epoch_artifacts(trainer, files, e, s, args.epochs)
+        else:
+            files.write_progress(e + 1, args.epochs)
+            print(
+                f"epoch {e + 1}/{args.epochs}: mse={s['mse']:.4f} "
+                f"total={s['dvae_loss']:.4f} ({s['epoch_time_s']:.1f}s)",
+                flush=True,
+            )
+
     trainer.train(
         args.epochs,
-        epoch_cb=lambda e, s: _epoch_artifacts(trainer, files, e, s, args.epochs),
+        epoch_cb=_cb,
         metrics_log=metrics,
         profile_dir=args.profile,
     )
@@ -176,6 +189,11 @@ def main(argv=None):
     p = sub.add_parser("train", parents=[common])
     p.add_argument("--name", required=True)
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument(
+        "--artifact-every", type=int, default=1,
+        help="write figures/diagram every N epochs (artifacts dominate epoch "
+        "wall time on fast chips; the last epoch always writes)",
+    )
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("generate", parents=[common])

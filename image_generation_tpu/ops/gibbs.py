@@ -93,13 +93,33 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def build_plan(graph: GRBMGraph, pad_to: int = 128) -> GibbsPlan:
+def build_plan(
+    graph: GRBMGraph, pad_to: int = 128, max_class: Optional[int] = None
+) -> GibbsPlan:
+    """Color-permuted sampling plan.
+
+    ``max_class`` caps the per-block width by splitting oversized color
+    classes (any subset of an independent set is an independent set, so the
+    scan stays a valid Gibbs sweep).  Greedy colorings of sparse hardware
+    graphs are heavily unbalanced — the first class can hold half the nodes
+    — and bounded blocks keep per-color matmul operands and the Pallas
+    kernels' scratch buffers inside VMEM at any graph size.  Default: 512
+    for small graphs, shrinking with n so an (n_pad × max_class) bf16
+    streaming buffer stays a few MB.
+    """
+    if max_class is None:
+        n_ = graph.n
+        max_class = 512 if n_ <= 2048 else (256 if n_ <= 4096 else 128)
     cc = greedy_coloring(graph.to_networkx())
     n = graph.n
     n_colors = (max(cc.values()) + 1) if n else 0
-    classes = [[] for _ in range(n_colors)]
+    raw_classes = [[] for _ in range(n_colors)]
     for v in range(n):
-        classes[cc[v]].append(v)
+        raw_classes[cc[v]].append(v)
+    classes = []
+    for members in raw_classes:
+        for i in range(0, len(members), max_class):
+            classes.append(members[i : i + max_class])
 
     orig_to_perm = np.zeros(n, dtype=np.int32)
     blocks = []

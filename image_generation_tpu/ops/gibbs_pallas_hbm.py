@@ -1,0 +1,186 @@
+"""Pallas TPU kernel: HBM-streamed colored block-Gibbs for large graphs.
+
+The VMEM-resident kernel (ops/gibbs_pallas.py) needs the whole permuted
+coupling matrix on-chip — fine up to ~1.5-3k spins.  Full-fabric GRBMs
+(Pegasus P16: 5640 spins → a 139 MB f32 / 70 MB bf16 matrix) do not fit, so
+this kernel keeps the coupling in HBM and streams one color-block of columns
+at a time into a double-buffered VMEM scratch:
+
+  * grid over chain blocks (independent chains — embarrassingly parallel);
+  * per color c: the (n_pad × width_c) column block A[:, c0:c1] is DMA'd
+    HBM→VMEM while the previous color computes (two scratch slots, two DMA
+    semaphores);
+  * fields/update math identical to the VMEM kernel (MXU matmul + on-core
+    PRNG Bernoulli), f32 accumulation; the streamed blocks are bf16 by
+    default (±1 spins exact, half the HBM traffic).
+
+Slot scheduling: the body unrolls TWO sweeps (2·C color steps, an even
+count), so the alternating slot pattern lines up across `fori_loop`
+iterations for any number of colors; odd sweep counts are rounded up (an
+extra sweep only brings the chain closer to stationarity).
+
+Statistical correctness is tested in interpret mode with fed uniforms
+(tests/test_gibbs_pallas_hbm.py) and on the real chip against the XLA
+sampler's moments.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from image_generation_tpu.ops.gibbs import GibbsPlan
+
+__all__ = ["gibbs_sweeps_pallas_hbm"]
+
+
+def _uniform_hw(chains, width):
+    bits = pltpu.bitcast(pltpu.prng_random_bits((chains, width)), jnp.uint32)
+    top24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    return top24.astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _kernel(plan: GibbsPlan, n_half: int, max_w: int, use_hw_rng: bool,
+            *refs):
+    if use_hw_rng:
+        (seed_ref, h_ref, beta_ref, coupling_hbm, spins_in, spins_out,
+         scratch, sems) = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        uniforms_ref = None
+    else:
+        (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_in, spins_out,
+         scratch, sems) = refs
+    spins_out[:] = spins_in[:]
+    chains = spins_out.shape[0]
+    blocks = plan.blocks
+    n_colors = len(blocks)
+    # two unrolled sweeps per iteration → even number of color steps →
+    # stable slot parity across fori iterations
+    seq = [(step, c) for step in range(2) for c in range(n_colors)]
+
+    def dma(slot, color):
+        c0, _, c1 = blocks[color]
+        return pltpu.make_async_copy(
+            coupling_hbm.at[:, pl.ds(c0, c1 - c0)],
+            scratch.at[slot, :, pl.ds(0, c1 - c0)],
+            sems.at[slot],
+        )
+
+    def half(i, carry):
+        for k, (step, c) in enumerate(seq):
+            slot = k % 2
+            c0, _valid, c1 = blocks[c]
+            width = c1 - c0
+            # prefetch the next color block into the other slot (wraps to
+            # color 0 at the end — consumed by the next iteration's k=0)
+            nk = (k + 1) % len(seq)
+            dma((k + 1) % 2, seq[nk][1]).start()
+            dma(slot, c).wait()
+            block = scratch[slot, :, :width]
+            fields = jnp.dot(
+                spins_out[:].astype(block.dtype), block,
+                preferred_element_type=jnp.float32,
+            )
+            fields = fields + h_ref[0, c0:c1]
+            p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
+            if uniforms_ref is None:
+                u = _uniform_hw(chains, width)
+            else:
+                u = uniforms_ref[2 * i + step, :, c0:c1]
+            spins_out[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0)
+        return carry
+
+    # warm-up: first block into slot 0 (the loop body waits on it first)
+    dma(0, 0).start()
+    jax.lax.fori_loop(0, n_half, half, 0)
+    # drain the dangling wrap-around prefetch (slot 0: len(seq) is even)
+    dma(0, 0).wait()
+
+
+def gibbs_sweeps_pallas_hbm(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
+    plan: GibbsPlan,
+    spins_p: jax.Array,
+    n_sweeps: int,
+    beta: jax.Array | float = 1.0,
+    chain_block: int = 128,
+    block_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    uniforms: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Drop-in sampler for graphs whose coupling matrix exceeds VMEM.
+
+    Same contract as ``gibbs_sweeps``/``gibbs_sweeps_pallas``.  ``n_sweeps``
+    is rounded UP to an even count (see module docstring).
+    """
+    n_chains, n_pad = spins_p.shape
+    assert n_pad == plan.n_pad
+    block = min(chain_block, n_chains)
+    if n_chains % block != 0:
+        block = n_chains
+    grid = n_chains // block
+    n_half = -(-n_sweeps // 2)  # two sweeps per loop iteration
+    max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
+
+    beta_arr = jnp.broadcast_to(
+        jnp.asarray(beta, jnp.float32).reshape(-1, 1), (n_chains, 1)
+    ).astype(jnp.float32)
+    h2d = hp.reshape(1, -1).astype(jnp.float32)
+    use_hw_rng = uniforms is None
+
+    kernel = functools.partial(_kernel, plan, n_half, max_w, use_hw_rng)
+    common = dict(
+        grid=(grid,),
+        out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, n_pad, max_w), jnp.dtype(block_dtype)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    h_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    coupling_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
+    spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    coupling_cast = coupling_p.astype(jnp.dtype(block_dtype))
+
+    if uniforms is not None:
+        assert uniforms.shape[1:] == (n_chains, n_pad)
+        assert uniforms.shape[0] >= 2 * n_half
+        return pl.pallas_call(
+            kernel,
+            in_specs=[
+                h_spec,
+                beta_spec,
+                coupling_spec,
+                pl.BlockSpec(
+                    (2 * n_half, block, n_pad), lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                spins_spec,
+            ],
+            **common,
+        )(h2d, beta_arr, coupling_cast, uniforms.astype(jnp.float32),
+          spins_p.astype(jnp.float32))
+
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            h_spec,
+            beta_spec,
+            coupling_spec,
+            spins_spec,
+        ],
+        **common,
+    )(seed, h2d, beta_arr, coupling_cast, spins_p.astype(jnp.float32))

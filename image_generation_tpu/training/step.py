@@ -151,10 +151,11 @@ def make_train_fns(
     )
 
     use_pallas = cfg.USE_PALLAS == "on" or (
-        cfg.USE_PALLAS == "auto"
-        and jax.default_backend() == "tpu"
-        and supported_by_pallas(plan, cfg.NUM_READS)
+        cfg.USE_PALLAS == "auto" and jax.default_backend() == "tpu"
     )
+    # VMEM-resident kernel when the coupling matrix fits on-chip; the
+    # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins)
+    pallas_vmem = supported_by_pallas(plan, cfg.NUM_READS)
     pt_mode = cfg.SAMPLER == "pt"
     betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
 
@@ -167,9 +168,20 @@ def make_train_fns(
         mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
-        if use_pallas:
+        if use_pallas and pallas_vmem:
             return gibbs_sweeps_pallas(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
+            )
+        # Large graph: the HBM-streaming kernel re-streams the coupling per
+        # 128-chain grid instance — measured 1.6× faster than XLA at ≤256
+        # chains and slower beyond (XLA's matmul amortizes the stream across
+        # all chain rows), so select by the static chain count.
+        if use_pallas and chains.shape[0] <= 256:
+            from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
+
+            return gibbs_sweeps_pallas_hbm(
+                key, hp, coupling_p, plan_, chains, n_sweeps, beta,
+                block_dtype=mm_dtype or jnp.float32,
             )
         return gibbs_sweeps(
             key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
