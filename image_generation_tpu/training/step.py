@@ -377,9 +377,14 @@ def make_train_fns(
     def rebuild_sampler(state: TrainState) -> TrainState:
         """Recompute the cached (sampler_h, sampler_coupling) from the
         state's grbm_params — required after externally swapping params
-        (checkpoint load, tune mode)."""
+        (checkpoint load, tune mode) — and re-burn the persistent chains
+        under the new model (they were equilibrated against the old one)."""
         hp, coupling_p = build_sampler_model(state.grbm_params)
-        return state.replace(sampler_h=hp, sampler_coupling=coupling_p)
+        rng, k_burn = jax.random.split(state.rng)
+        chains = run_sweeps(k_burn, hp, coupling_p, state.chains, cfg.GIBBS_BURN_IN)
+        return state.replace(
+            sampler_h=hp, sampler_coupling=coupling_p, chains=chains, rng=rng
+        )
 
     return TrainStepFns(
         cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body, rebuild_sampler
