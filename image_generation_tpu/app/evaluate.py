@@ -40,7 +40,6 @@ def evaluate_checkpoint(
 ) -> dict:
     from image_generation_tpu.config import TrainingConfig
     from image_generation_tpu.models.grbm import energy, scaled_ising
-    from image_generation_tpu.models.dvae import spins_straight_through
     from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
     from image_generation_tpu.training.trainer import Trainer
 

@@ -29,7 +29,7 @@ import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import urlparse
 
 from image_generation_tpu.app import ui_config
 from image_generation_tpu.app.files import RunFiles

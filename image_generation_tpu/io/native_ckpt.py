@@ -17,7 +17,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional
 
-import jax
 
 __all__ = ["save_train_state", "restore_train_state", "latest_step"]
 

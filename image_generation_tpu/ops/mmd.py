@@ -21,7 +21,6 @@ src/model_wrapper.py:307-316).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Protocol, runtime_checkable
 
 import jax
-import numpy as np
 
 from image_generation_tpu.models.grbm import GRBMGraph
 from image_generation_tpu.utils.sampleset import SampleSet

@@ -35,7 +35,7 @@ never intervenes — the TPU runs 468 fused steps back to back.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

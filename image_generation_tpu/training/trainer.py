@@ -30,14 +30,11 @@ from image_generation_tpu.io.checkpoint import (
     make_parameters_json,
     save_model_dir,
 )
-from image_generation_tpu.models.dvae import DVAE
 from image_generation_tpu.models.grbm import GRBMGraph
 from image_generation_tpu.ops.gibbs import build_plan
 from image_generation_tpu.training.step import TrainState, make_train_fns
 from image_generation_tpu.utils.data import get_dataset, permuted_epoch
 from image_generation_tpu.utils.grid import interleave, make_grid, sharpen
-from image_generation_tpu.utils.subgraph import select_latent_graph
-from image_generation_tpu.utils.topology import graph_for_qpu
 
 __all__ = ["Trainer", "TrainingError"]
 

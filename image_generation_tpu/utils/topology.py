@@ -22,7 +22,6 @@ graph-level metadata the app layer needs (``family``, ``rows``, ``columns``,
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import networkx as nx
