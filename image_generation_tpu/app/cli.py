@@ -138,7 +138,8 @@ def cmd_generate(args):
 def cmd_tune(args):
     trainer = _build_trainer(args, for_load=True)
     trainer.load(args.model)
-    old_losses = dict(trainer.losses)
+    # deep copy: train_init() clears these very list objects in place
+    old_losses = {k: list(v) for k, v in trainer.losses.items()}
     old_params = json.loads((Path(args.model) / "parameters.json").read_text())
     trainer.train_init(args.epochs)
     files = _attach_files(trainer, args)

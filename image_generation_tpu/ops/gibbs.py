@@ -275,7 +275,8 @@ def pt_round(
     t_dim, c_dim, n_pad = spins_p.shape
     k_sweep, k_even, k_odd = jax.random.split(key, 3)
     if sweeps_fn is None:
-        sweeps_fn = gibbs_sweeps
+        def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0):
+            return gibbs_sweeps(k, h_, c_, p_, s_, n_, beta, matmul_dtype=matmul_dtype)
 
     flat = spins_p.reshape(t_dim * c_dim, n_pad)
     beta_per_chain = jnp.repeat(betas, c_dim)

@@ -44,13 +44,27 @@ __all__ = ["gibbs_sweeps_pallas", "supported_by_pallas"]
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
+def _pick_block(n_chains: int, chain_block: int) -> int:
+    """Largest divisor of n_chains that is ≤ chain_block (grid blocks must
+    tile the chain count exactly)."""
+    b = min(n_chains, chain_block)
+    while n_chains % b != 0:
+        b -= 1
+    return b
+
+
 def supported_by_pallas(plan: GibbsPlan, n_chains: int, chain_block: int = 256) -> bool:
-    """Whether the single-program VMEM layout fits this problem."""
+    """Whether the single-program VMEM layout fits this problem.
+
+    ``n_chains`` must be the EFFECTIVE per-call chain count (PT mode flattens
+    the ladder to PT_NUM_BETAS·NUM_READS rows) and the block estimate mirrors
+    the kernel's actual divisor-based block choice.
+    """
     if plan.n_pad % 128 != 0:
         return False
-    block = min(n_chains, chain_block)
+    block = _pick_block(n_chains, chain_block)
     coupling_bytes = plan.n_pad * plan.n_pad * 4
-    spins_bytes = block * plan.n_pad * 4
+    spins_bytes = 2 * block * plan.n_pad * 4  # in + out buffers
     fields_bytes = block * max(c1 - c0 for c0, _, c1 in plan.blocks) * 4
     return coupling_bytes + spins_bytes + 3 * fields_bytes < _VMEM_BUDGET
 
@@ -144,9 +158,7 @@ def gibbs_sweeps_pallas(
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
-    block = min(chain_block, n_chains)
-    if n_chains % block != 0:
-        block = n_chains  # odd chain counts: single block
+    block = _pick_block(n_chains, chain_block)
     grid = n_chains // block
 
     beta_arr = jnp.broadcast_to(

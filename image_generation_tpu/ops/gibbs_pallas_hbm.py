@@ -122,9 +122,9 @@ def gibbs_sweeps_pallas_hbm(
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
-    block = min(chain_block, n_chains)
-    if n_chains % block != 0:
-        block = n_chains
+    from image_generation_tpu.ops.gibbs_pallas import _pick_block
+
+    block = _pick_block(n_chains, chain_block)
     grid = n_chains // block
     n_half = -(-n_sweeps // 2)  # two sweeps per loop iteration
     max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)

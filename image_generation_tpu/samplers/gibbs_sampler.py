@@ -33,14 +33,16 @@ __all__ = ["GibbsSampler", "PTSampler"]
 
 class _PlanCache:
     def __init__(self):
-        self._plans: Dict[int, GibbsPlan] = {}
+        # value holds the graph too: keying by id() alone is unsafe once a
+        # graph is garbage-collected and its address reused
+        self._plans: Dict[int, tuple] = {}
 
     def plan(self, graph: GRBMGraph) -> GibbsPlan:
-        p = self._plans.get(id(graph))
-        if p is None:
-            p = build_plan(graph)
-            self._plans[id(graph)] = p
-        return p
+        entry = self._plans.get(id(graph))
+        if entry is None or entry[0] is not graph:
+            entry = (graph, build_plan(graph))
+            self._plans[id(graph)] = entry
+        return entry[1]
 
 
 class GibbsSampler(_PlanCache):
@@ -58,7 +60,7 @@ class GibbsSampler(_PlanCache):
 
     def sample(self, h, quadratic, graph, num_reads, key, n_sweeps=None, **_) -> SampleSet:
         plan = self.plan(graph)
-        sweeps = n_sweeps or self.n_sweeps
+        sweeps = self.n_sweeps if n_sweeps is None else n_sweeps
         k1, k2 = jax.random.split(jnp.asarray(key))
         chains = self._chains.get(id(graph)) if self.persistent else None
         if chains is None or chains.shape[0] != num_reads:

@@ -35,6 +35,7 @@ never intervenes — the TPU runs 468 fused steps back to back.
 from __future__ import annotations
 
 from functools import partial
+from math import prod as np_prod
 from typing import Optional
 
 import jax
@@ -154,8 +155,12 @@ def make_train_fns(
         cfg.USE_PALLAS == "auto" and jax.default_backend() == "tpu"
     )
     # VMEM-resident kernel when the coupling matrix fits on-chip; the
-    # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins)
-    pallas_vmem = supported_by_pallas(plan, cfg.NUM_READS)
+    # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins).
+    # PT mode flattens the ladder, so the effective chain count is T·C.
+    _eff_chains = (
+        cfg.PT_NUM_BETAS * cfg.NUM_READS if cfg.SAMPLER == "pt" else cfg.NUM_READS
+    )
+    pallas_vmem = supported_by_pallas(plan, _eff_chains)
     pt_mode = cfg.SAMPLER == "pt"
     betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
 
@@ -250,14 +255,21 @@ def make_train_fns(
         )
 
     def step_body(state: TrainState, images: jax.Array, epoch: jax.Array):
-        rng, k_spins, k_drop, k_neg1, k_neg2 = jax.random.split(state.rng, 5)
+        rng, k_spins, k_drop, k_neg1, k_neg2, k_fresh = jax.random.split(state.rng, 6)
 
         # ---- negative phase #1 (the per-batch sampler call) ----
         # uses the cached sampler model: grbm params are unchanged since the
         # last scheduled GRBM update, so (sampler_h, sampler_coupling) are
-        # exactly scaled_ising(current params)
+        # exactly scaled_ising(current params).
+        # PERSISTENT_CHAINS=False gives CD-style fresh restarts per step
+        # (the reference restarts the annealer every call); True (default)
+        # is PCD — the working version of its intended sample reuse.
+        chains_in = state.chains
+        if not cfg.PERSISTENT_CHAINS:
+            flat = random_spins(k_fresh, plan, int(np_prod(chains_in.shape[:-1])))
+            chains_in = flat.reshape(chains_in.shape)
         chains = run_sweeps(
-            k_neg1, state.sampler_h, state.sampler_coupling, state.chains,
+            k_neg1, state.sampler_h, state.sampler_coupling, chains_in,
             cfg.GIBBS_SWEEPS,
         )
         samples = jax.lax.stop_gradient(chain_samples(chains))

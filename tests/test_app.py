@@ -94,3 +94,8 @@ def test_cli_train_generate_tune(tmp_path):
     assert tuned_params["n_epochs"] == 2  # 1 original + 1 tuned
     losses = json.loads((tuned / "losses.json").read_text())
     assert len(losses["mse_losses"]) == 8  # 4 batches × 2 epochs concatenated
+    # content check: first half must be the ORIGINAL run's history (a
+    # shallow-copy aliasing bug once made it the tuned losses duplicated)
+    original = json.loads((model_dir / "losses.json").read_text())
+    assert losses["mse_losses"][:4] == original["mse_losses"]
+    assert losses["mse_losses"][4:] != original["mse_losses"]

@@ -142,6 +142,18 @@ def test_persistent_chains_carry_state():
     assert set(np.unique(c1)) <= {-1.0, 1.0}
 
 
+def test_cd_mode_restarts_chains():
+    """PERSISTENT_CHAINS=False: fresh CD restarts, not carried PCD state."""
+    t = Trainer(config=tiny_config(PERSISTENT_CHAINS=False, GIBBS_SWEEPS=1))
+    t.train_init(n_epochs=1)
+    mse = t.step(t.images[:16], epoch=0)
+    assert np.isfinite(mse)
+    # with 1 sweep from a fresh random start, chains should be near 50/50
+    # (a persistent chain equilibrated by burn-in would be biased)
+    c = np.asarray(t.state.chains)
+    assert abs(c.mean()) < 0.2
+
+
 def test_checkpoint_roundtrip(tmp_path, trained):
     out = trained.save(tmp_path / "m1", n_epochs=2)
     assert (out / "dvae.pth").exists()
