@@ -131,6 +131,14 @@ def cmd_generate(args):
     files.write_epoch(0, gen["grid"], rec["grid"],
                       trainer.losses["mse_losses"], trainer.losses["dvae_losses"])
     files.write_latent_qpu(gen["latents"][0])
+    # refresh the model diagram for the selected checkpoint (the reference
+    # regenerates it on model switch, demo_callbacks.py:186-294)
+    from image_generation_tpu.app import ui_config
+    from image_generation_tpu.app.diagram import generate_model_diagram
+
+    if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
+        example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
+        generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
     print(f"generated {gen['images'].shape[0]} images → "
           f"{files.dir / 'generated_epoch_0.json'}")
 
