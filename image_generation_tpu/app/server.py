@@ -124,19 +124,20 @@ _PAGE = """<!doctype html>
       <div data-tab="generate">Generate</div>
     </div>
     <div id="tab-train">
-      <label>Model name</label><input id="name" value="tpu_model">
-      <label>QPU topology</label><select id="qpu">{qpu_options}</select>
-      <label>Latents: <span id="latents-val">{lat_val}</span></label>
+      <label title="Directory name the trained model is saved under (models/&lt;name&gt;)">Model name</label><input id="name" value="tpu_model">
+      <label title="Coupling-graph family for the GRBM latent prior; the reference samples this hardware, here an on-device Gibbs sampler runs the same graph">QPU topology</label><select id="qpu">{qpu_options}</select>
+      <label title="Number of ±1 spin latent variables = nodes of the GRBM subgraph">Latents: <span id="latents-val">{lat_val}</span></label>
       <input type="range" id="latents" min="{lat_min}" max="{lat_max}" step="{lat_step}" value="{lat_val}"
              oninput="document.getElementById('latents-val').innerText=this.value">
-      <label>Epochs: <span id="epochs-val">{ep_val}</span></label>
+      <label title="Passes over the training set (468 batches of 128 each at full size)">Epochs: <span id="epochs-val">{ep_val}</span></label>
       <input type="range" id="epochs" min="{ep_min}" max="{ep_max}" value="{ep_val}"
              oninput="document.getElementById('epochs-val').innerText=this.value">
       <button id="train-btn" onclick="startTrain()">Train</button>
     </div>
     <div id="tab-generate" style="display:none">
       <label>Model</label><select id="model"></select>
-      <label><input type="checkbox" id="sharpen" style="width:auto"> Sharpen output</label>
+      <label title="Binarize bright/dark pixels above 0.6 / below 0.4, keep mid-range">
+        <input type="checkbox" id="sharpen" style="width:auto"> Sharpen output</label>
       <label>Tune epochs</label><input type="number" id="tune-epochs" value="5" min="1">
       <button id="gen-btn" onclick="startGenerate()">Generate</button>
       <button class="secondary" onclick="startTune()">Tune Parameters</button>
@@ -157,6 +158,7 @@ _PAGE = """<!doctype html>
     <div id="res-loss" style="display:none">
       <svg id="svg-mse"></svg><svg id="svg-total"></svg>
     </div>
+    <div class="status" id="problem-details"></div>
     <div id="res-diagram" style="display:none">
       <div>
         <img class="diagram" id="d1" alt="input"> →
@@ -243,6 +245,10 @@ async function poll() {{
   $('train-btn').disabled = $('gen-btn').disabled = st.job.state === 'running';
   $('cancel-btn').disabled = st.job.state !== 'running';
   if (st.progress) {{ $('prog').value = st.progress.step; $('prog').max = st.progress.total; }}
+  const pd = await fetchJSON('/api/problem_details');
+  if (pd && pd.qpu) $('problem-details').innerText =
+    `QPU: ${{pd.qpu}} · latents: ${{pd.n_latents}} · couplers: ${{pd.n_edges}} · ` +
+    `reads: ${{pd.num_reads}} · sampler: ${{pd.sampler}}`;
   const epoch = st.latest_epoch;
   if (epoch !== null && epoch !== undefined && epoch !== lastEpoch) {{
     lastEpoch = epoch;
