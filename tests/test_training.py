@@ -142,6 +142,20 @@ def test_persistent_chains_carry_state():
     assert set(np.unique(c1)) <= {-1.0, 1.0}
 
 
+@pytest.mark.slow
+def test_max_slider_latents_512():
+    """The reference UI slider tops out at 512 latents (demo_configs.py):
+    the architecture must scale there (encoder output channels, decoder
+    unflatten, GRBM subgraph)."""
+    t = Trainer(config=tiny_config(N_LATENTS=512, NUM_READS=32, QPU="Advantage2_prototype"))
+    t.train_init(n_epochs=1)
+    assert t.graph.n == 512
+    mse = t.step(t.images[:16], epoch=0)
+    assert np.isfinite(mse)
+    gen = t.generate_output(num_reads=8)
+    assert gen["images"].shape == (8, 32, 32, 1)
+
+
 def test_cd_mode_restarts_chains():
     """PERSISTENT_CHAINS=False: fresh CD restarts, not carried PCD state."""
     t = Trainer(config=tiny_config(PERSISTENT_CHAINS=False, GIBBS_SWEEPS=1))
