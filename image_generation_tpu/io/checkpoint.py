@@ -12,7 +12,8 @@ A saved model is a directory ``models/<name>/`` holding:
 (reference: ModelWrapper.save/load src/model_wrapper.py:148-175 and
 ``create_model_files`` src/utils/callback_helpers.py:70-108).  All six
 shipped ``models/Advantage*`` checkpoints round-trip through these
-functions (tested in tests/test_checkpoint.py).
+functions (tested in tests/test_training.py::test_checkpoint_roundtrip;
+tensor-level .pth round-trips in tests/test_dvae.py).
 """
 
 from __future__ import annotations

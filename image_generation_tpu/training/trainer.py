@@ -183,14 +183,16 @@ class Trainer:
         if not self._init_done or self._n_epochs != n_epochs:
             self.train_init(n_epochs)
         with profile(profile_dir):
-            t0 = time.perf_counter()
             for epoch in range(n_epochs):
+                t0 = time.perf_counter()
                 stats = self.train_epoch(epoch)
+                # time only the training dispatch: the callbacks below write
+                # figures/diagrams/checkpoints, which can dominate an epoch
+                # on fast chips and must not deflate images_per_s
                 stats["epoch_time_s"] = time.perf_counter() - t0
                 stats["images_per_s"] = (
                     self.n_batches * self.config.BATCH_SIZE / stats["epoch_time_s"]
                 )
-                t0 = time.perf_counter()
                 if metrics_log is not None:
                     metrics_log.log("epoch", epoch=epoch, **stats)
                 if checkpoint_dir is not None:

@@ -21,15 +21,33 @@ from pathlib import Path
 import numpy as np
 
 
-def epoch_means(values, steps_per_epoch=468):
+def steps_per_epoch_of(model_dir: Path, n_losses: int) -> int:
+    """Derive batches/epoch from the run's parameters.json rather than
+    assuming the full-MNIST 468 (dateset_size[sic]/batch_size, drop_last);
+    falls back to len(losses)/n_epochs when the metadata is incomplete."""
+    try:
+        meta = json.loads((model_dir / "parameters.json").read_text())
+    except (OSError, json.JSONDecodeError):
+        meta = {}
+    size = meta.get("dateset_size") or meta.get("dataset_size")
+    batch = meta.get("batch_size")
+    if size and batch:
+        return max(int(size) // int(batch), 1)
+    n_epochs = meta.get("n_epochs")
+    if n_epochs:
+        return max(n_losses // int(n_epochs), 1)
+    return 468
+
+
+def epoch_means(values, steps_per_epoch):
     v = np.asarray(values, np.float64)
     n = (len(v) // steps_per_epoch) * steps_per_epoch
     return v[:n].reshape(-1, steps_per_epoch).mean(axis=1)
 
 
-def curve_stats(losses):
-    mse = epoch_means(losses["mse_losses"])
-    total = epoch_means(losses["dvae_losses"])
+def curve_stats(losses, steps_per_epoch):
+    mse = epoch_means(losses["mse_losses"], steps_per_epoch)
+    total = epoch_means(losses["dvae_losses"], steps_per_epoch)
     return {
         "n_epochs": len(mse),
         "mse_first_epoch": round(float(mse[0]), 4),
@@ -47,8 +65,14 @@ def main(argv=None):
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    ours = curve_stats(json.loads((Path(args.ours) / "losses.json").read_text()))
-    ref = curve_stats(json.loads((Path(args.reference) / "losses.json").read_text()))
+    ours_losses = json.loads((Path(args.ours) / "losses.json").read_text())
+    ref_losses = json.loads((Path(args.reference) / "losses.json").read_text())
+    ours = curve_stats(
+        ours_losses, steps_per_epoch_of(Path(args.ours), len(ours_losses["mse_losses"]))
+    )
+    ref = curve_stats(
+        ref_losses, steps_per_epoch_of(Path(args.reference), len(ref_losses["mse_losses"]))
+    )
 
     n = min(ours["n_epochs"], ref["n_epochs"])
     a = np.asarray(ours["mse_epoch_means"][:n])
