@@ -45,18 +45,36 @@ def _build_trainer(args, for_load: bool = False):
     return Trainer(qpu=cfg.QPU, config=cfg)
 
 
-def _attach_files(trainer, args):
-    from image_generation_tpu.app.files import RunFiles
-
-    files = RunFiles(args.workdir)
-    files.clean()
+def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None):
+    """problem_details.json with the reference's display headers
+    (src/utils/callback_helpers.py:193-204): QPU / Epoch / Batch Size /
+    Latents / both learning rates / the current MSE, plus this framework's
+    sampler columns."""
+    extra = {"Batch Size": trainer.config.BATCH_SIZE}
+    if epoch is not None and n_epochs is not None:
+        extra["Epoch"] = f"{epoch + 1}/{n_epochs}"
+    if trainer.state is not None and trainer.fns is not None:
+        lr_d, lr_g = trainer.current_lrs()
+        extra["Learning rate DVAE"] = f"{lr_d:.3E}"
+        extra["Learning rate GRBM"] = f"{lr_g:.3E}"
+    if mse is not None:
+        extra["Mean Squared Error Loss"] = f"{mse:.4f}"
     files.write_problem_details(
         qpu=trainer.qpu,
         n_latents=trainer.n_latents,
         n_edges=trainer.graph.n_edges if trainer.graph else 0,
         num_reads=trainer.config.NUM_READS,
         sampler=trainer.config.SAMPLER,
+        extra=extra,
     )
+
+
+def _attach_files(trainer, args):
+    from image_generation_tpu.app.files import RunFiles
+
+    files = RunFiles(args.workdir)
+    files.clean()
+    _write_details(trainer, files)
     return files
 
 
@@ -71,7 +89,7 @@ def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
         trainer.losses["dvae_losses"],
     )
     files.write_latent_qpu(gen["latents"][0])
-    files.write_progress(epoch + 1, n_epochs)
+    files.write_progress(epoch + 1, n_epochs, trainer.n_batches, trainer.n_batches)
     from image_generation_tpu.app import ui_config
     from image_generation_tpu.app.diagram import generate_model_diagram
 
@@ -101,10 +119,11 @@ def cmd_train(args):
     every = max(args.artifact_every, 1)
 
     def _cb(e, s):
+        _write_details(trainer, files, epoch=e, n_epochs=args.epochs, mse=s["mse"])
         if (e + 1) % every == 0 or e + 1 == args.epochs:
             _epoch_artifacts(trainer, files, e, s, args.epochs)
         else:
-            files.write_progress(e + 1, args.epochs)
+            files.write_progress(e + 1, args.epochs, trainer.n_batches, trainer.n_batches)
             print(
                 f"epoch {e + 1}/{args.epochs}: mse={s['mse']:.4f} "
                 f"total={s['dvae_loss']:.4f} ({s['epoch_time_s']:.1f}s)",
@@ -116,6 +135,8 @@ def cmd_train(args):
         epoch_cb=_cb,
         metrics_log=metrics,
         profile_dir=args.profile,
+        batch_cb=lambda e, done, nb: files.write_progress(e, args.epochs, done, nb),
+        epoch_chunks=args.progress_chunks,
     )
     out = Path(args.workdir) / "models" / args.name
     trainer.save(out, n_epochs=args.epochs)
@@ -143,6 +164,26 @@ def cmd_generate(args):
           f"{files.dir / 'generated_epoch_0.json'}")
 
 
+def cmd_refresh(args):
+    """Regenerate the model-diagram assets for a saved checkpoint without a
+    training/generation job — the reference does this whenever the model
+    dropdown or settings change (check_qpu_and_update_model,
+    demo_callbacks.py:207-294, calling generate_model_diagram at :264)."""
+    from image_generation_tpu.app import ui_config
+    from image_generation_tpu.app.diagram import generate_model_diagram
+    from image_generation_tpu.app.files import RunFiles
+
+    trainer = _build_trainer(args, for_load=True)
+    trainer.load(args.model)
+    files = RunFiles(args.workdir)  # no clean(): keep prior epoch figures
+    example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
+    out = generate_model_diagram(
+        trainer, example, Path(args.workdir) / "assets" / "model_diagram"
+    )
+    _write_details(trainer, files)
+    print(f"refreshed model diagram for {args.model}: {sorted(out)}")
+
+
 def cmd_tune(args):
     trainer = _build_trainer(args, for_load=True)
     trainer.load(args.model)
@@ -154,6 +195,8 @@ def cmd_tune(args):
     trainer.train(
         args.epochs,
         epoch_cb=lambda e, s: _epoch_artifacts(trainer, files, e, s, args.epochs),
+        batch_cb=lambda e, done, nb: files.write_progress(e, args.epochs, done, nb),
+        epoch_chunks=args.progress_chunks,
     )
     name = f"{Path(args.model).name}_tuned_{args.epochs}_epochs"
     out = Path(args.workdir) / "models" / name
@@ -194,6 +237,11 @@ def main(argv=None):
         help="force a JAX platform (e.g. cpu); env JAX_PLATFORMS alone does "
         "not work where a sitecustomize overrides it via jax.config",
     )
+    common.add_argument(
+        "--progress-chunks", type=int, default=4,
+        help="scan chunks per epoch for batch-granular progress (1 = one "
+        "dispatch per epoch, max throughput; N adds N-1 extra dispatches)",
+    )
 
     p = sub.add_parser("train", parents=[common])
     p.add_argument("--name", required=True)
@@ -215,6 +263,10 @@ def main(argv=None):
     p.add_argument("--model", required=True)
     p.add_argument("--epochs", type=int, default=5)
     p.set_defaults(fn=cmd_tune)
+
+    p = sub.add_parser("refresh", parents=[common])
+    p.add_argument("--model", required=True)
+    p.set_defaults(fn=cmd_refresh)
 
     p = sub.add_parser("models")
     p.set_defaults(fn=cmd_models)

@@ -64,24 +64,40 @@ class RunFiles:
         sampler: str,
         extra: Optional[dict] = None,
     ) -> None:
-        """The UI's problem-details table source
-        (callback_helpers.py:192-204; rendered by
-        demo_interface.generate_problem_details_table)."""
+        """The UI's problem-details table source.  Keys are display-ready
+        headers, exactly like the reference's per-epoch dump
+        (src/utils/callback_helpers.py:193-204) rendered by
+        ``generate_problem_details_table`` (demo_interface.py:383-399).
+        ``extra`` appends/overrides columns — the per-epoch writer passes
+        Epoch / Batch Size / both learning rates / the MSE loss there."""
         details = {
-            "qpu": qpu,
-            "n_latents": n_latents,
-            "n_edges": n_edges,
-            "num_reads": num_reads,
-            "sampler": sampler,
+            "QPU": qpu,
+            "Latents": n_latents,
+            "Couplers": n_edges,
+            "Reads": num_reads,
+            "Sampler": sampler,
         }
         if extra:
             details.update(extra)
         (self.dir / "problem_details.json").write_text(json.dumps(details))
 
-    def write_progress(self, step: int, total: int) -> None:
+    def write_progress(
+        self,
+        step: int,
+        total: int,
+        batch: Optional[int] = None,
+        n_batches: Optional[int] = None,
+    ) -> None:
         """Progress for the UI bar — the diskcache set_progress equivalent
-        (callback_helpers.py:178)."""
-        (self.dir / "progress.json").write_text(json.dumps({"step": step, "total": total}))
+        (callback_helpers.py:178).  ``step``/``total`` count epochs;
+        ``batch``/``n_batches`` add the within-epoch counts the reference's
+        progress captions show (demo_callbacks.py:358-385: "Epochs
+        Completed: x/N" and "Batch: y/M")."""
+        payload = {"step": step, "total": total}
+        if batch is not None and n_batches is not None:
+            payload["batch"] = batch
+            payload["n_batches"] = n_batches
+        (self.dir / "progress.json").write_text(json.dumps(payload))
 
     # -- model-diagram latent vectors (demo_callbacks.py:149-159) ------
     def write_latent_encoded(self, spins) -> None:

@@ -8,15 +8,24 @@ dependencies (dash/plotly are not assumed):
 
   * ``ThreadingHTTPServer`` serves one self-contained HTML page (inline CSS
     generated from the theme color, exactly like the reference's
-    ``__generated_theme.css``, app.py:76-83; inline JS renders the
-    plotly-schema heatmap/scatter JSONs onto <canvas>/<svg>);
-  * train/generate/tune run as **separate OS processes** (subprocess → the
-    CLI), mirroring the reference's ``background=True`` callbacks
-    (demo_callbacks.py:576, 690); cancel terminates the job
-    (demo_callbacks.py:593, 710);
+    ``__generated_theme.css``, app.py:76-83);
+  * all figures are rendered SERVER-SIDE (app/render.py: plotly-schema JSON
+    → PNG/SVG) so the in-page JS only swaps <img> sources and innerHTML —
+    every pixel the page shows is produced by pytest-covered Python;
+  * train/generate/tune/refresh run as **separate OS processes**
+    (subprocess → the CLI), mirroring the reference's ``background=True``
+    callbacks (demo_callbacks.py:576, 690); cancel terminates the job
+    (demo_callbacks.py:593, 710); switching the model dropdown starts a
+    lightweight ``refresh`` job that regenerates the model diagram
+    (reference: check_qpu_and_update_model, demo_callbacks.py:207-294);
   * the page polls ``/api/...`` every 500 ms, reading the same
     ``generated_json/`` files the reference UI polls
-    (demo_callbacks.py:494-566).
+    (demo_callbacks.py:494-566);
+  * model/file names must match ``^[\\w-]+$`` — validated client-side (the
+    reference's file_name_validation, demo_callbacks.py:441-457: Train
+    disabled + help text) AND server-side (400), which also closes path
+    traversal through POST bodies;
+  * binds 127.0.0.1 by default; pass ``--host 0.0.0.0`` to expose.
 
 Run:  python -m image_generation_tpu.app.server --port 8050
 """
@@ -24,6 +33,7 @@ Run:  python -m image_generation_tpu.app.server --port 8050
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 import threading
@@ -35,7 +45,17 @@ from image_generation_tpu.app import ui_config
 from image_generation_tpu.app.files import RunFiles
 from image_generation_tpu.utils.topology import QPU_TOPOLOGIES
 
-__all__ = ["make_server", "main"]
+__all__ = ["make_server", "main", "valid_name"]
+
+_NAME_RE = re.compile(r"^[\w-]+$")  # reference demo_callbacks.py:457
+
+
+def valid_name(name) -> bool:
+    """Model/file-name validation — a-z A-Z 0-9 _ - only (the reference's
+    ``file_name_validation`` pattern, demo_callbacks.py:441-457).  Rejects
+    path separators, '..', absolute paths, and empty names, so a validated
+    name can be safely joined under workdir/models."""
+    return isinstance(name, str) and bool(_NAME_RE.match(name))
 
 
 class JobManager:
@@ -98,6 +118,8 @@ header h1 {{ margin: 0; font-size: 20px; }}
 .results {{ flex: 1; min-width: 0; }}
 label {{ display: block; margin: 10px 0 2px; font-size: 13px; color: #333; }}
 input, select {{ width: 100%; box-sizing: border-box; padding: 6px; }}
+input.invalid {{ border: 1px solid #c0392b; outline: none; }}
+.help-text {{ color: #c0392b; font-size: 12px; margin-top: 2px; }}
 button {{ background: var(--theme); color: #fff; border: 0; border-radius: 4px;
          padding: 10px 18px; margin-top: 14px; cursor: pointer; }}
 button.secondary {{ background: var(--theme2); }}
@@ -106,10 +128,15 @@ button:disabled {{ background: #aaa; }}
 .tabs div {{ padding: 8px 14px; cursor: pointer; border-bottom: 3px solid transparent; }}
 .tabs div.active {{ border-color: var(--theme2); font-weight: 600; }}
 progress {{ width: 100%; height: 14px; }}
-canvas {{ image-rendering: pixelated; width: 100%; background: #fff; border: 1px solid #eee; }}
-svg {{ width: 100%; height: 260px; background: #fff; border: 1px solid #eee; }}
+.progress-caption {{ font-size: 12px; color: #333; }}
+img.fig {{ image-rendering: pixelated; width: 100%; background: #fff; border: 1px solid #eee; }}
+img.plot {{ width: 100%; background: #fff; border: 1px solid #eee; }}
 .status {{ font-size: 12px; color: #666; margin-top: 8px; }}
 img.diagram {{ width: 120px; image-rendering: pixelated; border: 1px solid #ddd; margin: 2px; }}
+table.problem-details-table {{ border-collapse: collapse; font-size: 12px; margin-top: 8px; }}
+table.problem-details-table th, table.problem-details-table td
+  {{ border: 1px solid #ddd; padding: 4px 8px; text-align: left; }}
+table.problem-details-table th {{ background: #f0f4f8; }}
 """
 
 
@@ -124,7 +151,10 @@ _PAGE = """<!doctype html>
       <div data-tab="generate">Generate</div>
     </div>
     <div id="tab-train">
-      <label title="Directory name the trained model is saved under (models/&lt;name&gt;)">Model name</label><input id="name" value="tpu_model">
+      <label title="Directory name the trained model is saved under (models/&lt;name&gt;)">Model name</label>
+      <input id="name" value="tpu_model" oninput="validateName()">
+      <div class="help-text" id="name-help" style="display:none">
+        File name must only contain letters, numbers, hyphens and underscores.</div>
       <label title="Coupling-graph family for the GRBM latent prior; the reference samples this hardware, here an on-device Gibbs sampler runs the same graph">QPU topology</label><select id="qpu">{qpu_options}</select>
       <label title="Number of ±1 spin latent variables = nodes of the GRBM subgraph">Latents: <span id="latents-val">{lat_val}</span></label>
       <input type="range" id="latents" min="{lat_min}" max="{lat_max}" step="{lat_step}" value="{lat_val}"
@@ -135,7 +165,7 @@ _PAGE = """<!doctype html>
       <button id="train-btn" onclick="startTrain()">Train</button>
     </div>
     <div id="tab-generate" style="display:none">
-      <label>Model</label><select id="model"></select>
+      <label>Model</label><select id="model" onchange="modelChanged()"></select>
       <label title="Binarize bright/dark pixels above 0.6 / below 0.4, keep mid-range">
         <input type="checkbox" id="sharpen" style="width:auto"> Sharpen output</label>
       <label>Tune epochs</label><input type="number" id="tune-epochs" value="5" min="1">
@@ -144,6 +174,8 @@ _PAGE = """<!doctype html>
     </div>
     <button class="secondary" id="cancel-btn" onclick="cancelJob()" disabled>Cancel</button>
     <progress id="prog" value="0" max="1"></progress>
+    <div class="progress-caption" id="prog-epoch"></div>
+    <div class="progress-caption" id="prog-batch"></div>
     <div class="status" id="status">idle</div>
   </div>
   <div class="panel results">
@@ -153,32 +185,33 @@ _PAGE = """<!doctype html>
       <div data-tab="loss">Loss Graphs</div>
       <div data-tab="diagram">Model Diagram</div>
     </div>
-    <div id="res-generated"><canvas id="cv-generated" width="10" height="10"></canvas></div>
-    <div id="res-reconstructed" style="display:none"><canvas id="cv-reconstructed" width="10" height="10"></canvas></div>
+    <div id="res-generated"><img class="fig" id="img-generated" alt="generated images"></div>
+    <div id="res-reconstructed" style="display:none"><img class="fig" id="img-reconstructed" alt="reconstructions"></div>
     <div id="res-loss" style="display:none">
-      <svg id="svg-mse"></svg><svg id="svg-total"></svg>
+      <img class="plot" id="img-mse" alt="MSE loss"><img class="plot" id="img-total" alt="total loss">
     </div>
-    <div class="status" id="problem-details"></div>
+    <div id="problem-details"></div>
     <div id="res-diagram" style="display:none">
       <div>
         <img class="diagram" id="d1" alt="input"> →
         <img class="diagram" id="d2" alt="encode"> →
+        <img id="latent-strip" alt="latent ±1 vector" style="height:44px;vertical-align:middle"> →
         <img class="diagram" id="d4" alt="decode"> →
         <img class="diagram" id="d5" alt="output">
       </div>
       <div style="display:flex;gap:8px;margin-top:8px">
         <div style="flex:1"><div style="font-size:12px">Encoded latent on QPU graph</div>
-          <svg id="topo-encoded" style="height:340px"></svg></div>
+          <img class="plot" id="topo-encoded" style="height:340px" alt="encoded latent graph"></div>
         <div style="flex:1"><div style="font-size:12px">Sampled latent on QPU graph</div>
-          <svg id="topo-qpu" style="height:340px"></svg></div>
+          <img class="plot" id="topo-qpu" style="height:340px" alt="sampled latent graph"></div>
       </div>
     </div>
   </div>
 </div>
 <script>
-let lastEpoch = -1;
+let lastEpoch = -1, lastProgress = 0;
 function $(id) {{ return document.getElementById(id); }}
-function tabs(groupId, prefix) {{
+function tabs(groupId) {{
   const g = $(groupId);
   g.querySelectorAll('div').forEach(t => t.onclick = () => {{
     g.querySelectorAll('div').forEach(x => x.classList.remove('active'));
@@ -189,46 +222,21 @@ function tabs(groupId, prefix) {{
   }});
 }}
 tabs('settings-tabs'); tabs('result-tabs');
-function drawHeatmap(canvasId, fig) {{
-  const tr = fig.data[0]; const z = tr.z; const h = z.length, w = z[0].length;
-  const cv = $(canvasId); cv.width = w; cv.height = h;
-  const ctx = cv.getContext('2d'); const img = ctx.createImageData(w, h);
-  for (let y = 0; y < h; y++) for (let x = 0; x < w; x++) {{
-    const v = Math.max(0, Math.min(1, z[h-1-y][x]));   // heatmap y-up
-    const c = Math.round(255 * (tr.reversescale ? v : 1 - v));
-    const k = 4 * (y * w + x);
-    img.data[k] = img.data[k+1] = img.data[k+2] = c; img.data[k+3] = 255;
-  }}
-  ctx.putImageData(img, 0, 0);
-}}
-function drawTopology(svgId, fig) {{
-  const svg = $(svgId); const W = svg.clientWidth || 500, H = svg.clientHeight || 340;
-  const edges = fig.data[0], nodes = fig.data[1];
-  const sx = x => 8 + x * (W - 16), sy = y => H - 8 - y * (H - 16);
-  let out = '';
-  for (let i = 0; i < edges.x.length; i += 3) {{
-    out += `<line x1="${{sx(edges.x[i])}}" y1="${{sy(edges.y[i])}}" ` +
-           `x2="${{sx(edges.x[i+1])}}" y2="${{sy(edges.y[i+1])}}" stroke="#ccc" stroke-width="0.5"/>`;
-  }}
-  const colors = nodes.marker.color;
-  for (let i = 0; i < nodes.x.length; i++) {{
-    out += `<circle cx="${{sx(nodes.x[i])}}" cy="${{sy(nodes.y[i])}}" r="3" ` +
-           `fill="${{Array.isArray(colors) ? colors[i] : colors}}"/>`;
-  }}
-  svg.innerHTML = out;
-}}
-function drawLine(svgId, fig, color) {{
-  const ys = fig.data[0].y; if (!ys.length) return;
-  const svg = $(svgId); const W = svg.clientWidth || 600, H = svg.clientHeight || 260;
-  const ymax = Math.max(...ys), ymin = Math.min(...ys);
-  const pts = ys.map((v, i) =>
-    `${{(i/(ys.length-1||1))*(W-20)+10}},${{H-10-((v-ymin)/((ymax-ymin)||1))*(H-20)}}`).join(' ');
-  svg.innerHTML = `<polyline fill="none" stroke="${{color}}" stroke-width="1.5" points="${{pts}}"/>` +
-    `<text x="12" y="16" font-size="11">max ${{ymax.toFixed(4)}} min ${{ymin.toFixed(4)}}</text>`;
+function validateName() {{
+  const ok = /^[\\w-]+$/.test($('name').value);
+  $('train-btn').disabled = !ok;
+  $('name-help').style.display = ok ? 'none' : '';
+  $('name').classList.toggle('invalid', !ok);
+  return ok;
 }}
 async function fetchJSON(url, opts) {{
   const r = await fetch(url, opts); if (!r.ok) return null;
   return await r.json();
+}}
+function setImg(id, url) {{
+  const img = $(id); const probe = new Image();
+  probe.onload = () => {{ img.src = url; }};   // only swap when it exists
+  probe.src = url;
 }}
 async function refreshModels() {{
   const models = await fetchJSON('/api/models');
@@ -238,46 +246,55 @@ async function refreshModels() {{
   }});
   if (cur) sel.value = cur;
 }}
+function refreshDiagram(bust) {{
+  ['1','2','4','5'].forEach(k => setImg('d' + k,
+    `/assets/model_diagram/step_${{k}}_` +
+    ({{'1':'input','2':'encode','4':'decode','5':'output'}})[k] + `.png?e=${{bust}}`));
+  setImg('latent-strip', `/api/render/latent_strip.svg?e=${{bust}}`);
+  const model = $('model').value || $('name').value;
+  setImg('topo-encoded', `/api/render/topology/${{model}}/encoded.svg?e=${{bust}}`);
+  setImg('topo-qpu', `/api/render/topology/${{model}}/qpu.svg?e=${{bust}}`);
+}}
+async function modelChanged() {{
+  // the reference regenerates the model diagram + topology figures whenever
+  // the dropdown changes (check_qpu_and_update_model) — run the cheap
+  // refresh job, then the poller picks up the new assets
+  await fetchJSON('/api/refresh_model', {{method: 'POST',
+    body: JSON.stringify({{model: $('model').value}})}});
+}}
 async function poll() {{
   const st = await fetchJSON('/api/state');
   if (!st) return;
   $('status').innerText = st.job.state + (st.job.kind ? ' ('+st.job.kind+')' : '');
-  $('train-btn').disabled = $('gen-btn').disabled = st.job.state === 'running';
+  $('train-btn').disabled = st.job.state === 'running' || !validateName();
+  $('gen-btn').disabled = st.job.state === 'running';
   $('cancel-btn').disabled = st.job.state !== 'running';
-  if (st.progress) {{ $('prog').value = st.progress.step; $('prog').max = st.progress.total; }}
-  const pd = await fetchJSON('/api/problem_details');
-  if (pd && pd.qpu) $('problem-details').innerText =
-    `QPU: ${{pd.qpu}} · latents: ${{pd.n_latents}} · couplers: ${{pd.n_edges}} · ` +
-    `reads: ${{pd.num_reads}} · sampler: ${{pd.sampler}}`;
+  if (st.progress) {{
+    $('prog').value = st.progress.step; $('prog').max = st.progress.total;
+    $('prog-epoch').innerText = `Epochs Completed: ${{st.progress.step}}/${{st.progress.total}}`;
+    $('prog-batch').innerText = (st.progress.batch !== undefined)
+      ? `Batch: ${{st.progress.batch}}/${{st.progress.n_batches}}` : '';
+  }}
+  const pd = await fetchJSON('/api/problem_details_html');
+  if (pd && pd.html) $('problem-details').innerHTML = pd.html;
+  if (st.job.state === 'running' && st.job.kind === 'refresh') lastProgress++;
   const epoch = st.latest_epoch;
   if (epoch !== null && epoch !== undefined && epoch !== lastEpoch) {{
-    lastEpoch = epoch;
-    for (const kind of ['generated', 'reconstructed']) {{
-      const fig = await fetchJSON(`/api/figure/${{kind}}/${{epoch}}`);
-      if (fig) drawHeatmap('cv-' + kind, fig);
-    }}
-    const mse = await fetchJSON(`/api/figure/loss_mse/${{epoch}}`);
-    if (mse) drawLine('svg-mse', mse, '{theme2}');
-    const tot = await fetchJSON(`/api/figure/loss_total/${{epoch}}`);
-    if (tot) drawLine('svg-total', tot, '{theme}');
-    ['1','2','4','5'].forEach(k => {{
-      const img = $('d' + k);
-      if (img) img.src = `/assets/model_diagram/step_${{k}}_` +
-        ({{'1':'input','2':'encode','4':'decode','5':'output'}})[k] + `.png?e=${{epoch}}`;
-    }});
+    lastEpoch = epoch; lastProgress++;
+    setImg('img-generated', `/api/render/generated/${{epoch}}.png`);
+    setImg('img-reconstructed', `/api/render/reconstructed/${{epoch}}.png`);
+    setImg('img-mse', `/api/render/loss_mse/${{epoch}}.svg`);
+    setImg('img-total', `/api/render/loss_total/${{epoch}}.svg`);
     refreshModels();
-    const model = $('model').value || $('name').value;
-    for (const kind of ['encoded', 'qpu']) {{
-      const fig = await fetchJSON(`/api/topology/${{model}}/${{kind}}`);
-      if (fig && fig.data) drawTopology('topo-' + kind, fig);
-    }}
   }}
+  refreshDiagram(lastProgress);   // cache-busted only when lastProgress moves
 }}
 function cfg() {{
   return {{ name: $('name').value, qpu: $('qpu').value,
            latents: +$('latents').value, epochs: +$('epochs').value }};
 }}
 async function startTrain() {{
+  if (!validateName()) return;
   lastEpoch = -1;
   await fetchJSON('/api/train', {{method: 'POST', body: JSON.stringify(cfg())}});
 }}
@@ -314,16 +331,24 @@ def _render_page() -> str:
         lat_min=s_lat["min"], lat_max=s_lat["max"], lat_step=s_lat["step"],
         lat_val=s_lat["value"],
         ep_min=s_ep["min"], ep_max=s_ep["max"], ep_val=s_ep["value"],
-        theme=ui_config.THEME_COLOR, theme2=ui_config.THEME_COLOR_SECONDARY,
     )
 
 
-def make_server(workdir=".", port: int = 8050, extra_cli: list | None = None):
+def make_server(
+    workdir=".", port: int = 8050, extra_cli: list | None = None,
+    host: str = "127.0.0.1",
+):
     workdir = Path(workdir).resolve()
     jobs = JobManager(workdir)
     files = RunFiles(workdir)
     page = _render_page().encode()
     extra = list(extra_cli or [])
+
+    def model_dir(name) -> Path | None:
+        """workdir/models/<name> for a validated name, else None."""
+        if not valid_name(name):
+            return None
+        return workdir / "models" / name
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -345,6 +370,52 @@ def make_server(workdir=".", port: int = 8050, extra_cli: list | None = None):
             self.wfile.write(body)
 
         # ---------------- GET ----------------
+        def _render_endpoint(self, parts):
+            """/api/render/... → server-rendered PNG/SVG (app/render.py)."""
+            from image_generation_tpu.app import render
+
+            tail = parts[2:]
+            if len(tail) == 1 and tail[0] == "latent_strip.svg":
+                vf = workdir / "assets" / "model_diagram" / "latent_encoded.json"
+                if not vf.exists():
+                    return self._json({"error": "no latent vector yet"}, 404)
+                try:
+                    values = json.loads(vf.read_text())
+                except json.JSONDecodeError:
+                    return self._json({"error": "latent vector being written"}, 404)
+                return self._bytes(
+                    render.latent_strip_svg(values).encode(), "image/svg+xml"
+                )
+            if len(tail) == 2 and tail[0] in ("generated", "reconstructed"):
+                fig = files.read_epoch_figure(tail[0], _safe_epoch(tail[1], ".png"))
+                if fig is None:
+                    return self._json({"error": "not found"}, 404)
+                return self._bytes(render.render_heatmap_png(fig), "image/png")
+            if len(tail) == 2 and tail[0] in ("loss_mse", "loss_total"):
+                fig = files.read_epoch_figure(tail[0], _safe_epoch(tail[1], ".svg"))
+                if fig is None:
+                    return self._json({"error": "not found"}, 404)
+                color = (
+                    ui_config.THEME_COLOR_SECONDARY
+                    if tail[0] == "loss_mse"
+                    else ui_config.THEME_COLOR
+                )
+                return self._bytes(
+                    render.render_loss_svg(fig, color).encode(), "image/svg+xml"
+                )
+            if len(tail) == 3 and tail[0] == "topology":
+                name, kind = tail[1], tail[2]
+                if kind.endswith(".svg"):
+                    kind = kind[: -len(".svg")]
+                model = model_dir(name)
+                if model is None or not (model / "grbm.pth").exists():
+                    return self._json({"error": "unknown model"}, 404)
+                fig = _topology_fig(model, kind)
+                return self._bytes(
+                    render.render_topology_svg(fig).encode(), "image/svg+xml"
+                )
+            return self._json({"error": "not found"}, 404)
+
         def do_GET(self):
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
@@ -371,27 +442,38 @@ def make_server(workdir=".", port: int = 8050, extra_cli: list | None = None):
                             meta = json.loads(pj.read_text())
                             out.append({"name": d.name, **meta})
                 return self._json(out)
+            if len(parts) >= 3 and parts[:2] == ["api", "render"]:
+                try:
+                    return self._render_endpoint(parts)
+                except (ValueError, KeyError, TypeError, OSError):
+                    return self._json({"error": "bad figure"}, 404)
             if len(parts) == 4 and parts[:2] == ["api", "figure"]:
-                fig = files.read_epoch_figure(parts[2], int(parts[3]))
+                try:
+                    epoch = int(parts[3])
+                except ValueError:
+                    return self._json({"error": "bad epoch"}, 404)
+                fig = files.read_epoch_figure(parts[2], epoch)
                 return self._json(fig if fig is not None else {}, 200 if fig else 404)
             if url.path == "/api/problem_details":
                 p = files.dir / "problem_details.json"
                 return self._json(json.loads(p.read_text()) if p.exists() else {})
-            if len(parts) == 4 and parts[:2] == ["api", "topology"]:
-                # /api/topology/<model>/<encoded|qpu>
-                model = workdir / "models" / parts[2]
-                if not (model / "grbm.pth").exists():
-                    return self._json({"error": "unknown model"}, 404)
-                values = None
-                vf = workdir / "assets" / "model_diagram" / f"latent_{parts[3]}.json"
-                if vf.exists():
-                    try:
-                        values = json.loads(vf.read_text())
-                    except json.JSONDecodeError:
-                        values = None
-                from image_generation_tpu.app.figures import model_topology_figure
+            if url.path == "/api/problem_details_html":
+                from image_generation_tpu.app.render import problem_details_html
 
-                return self._json(model_topology_figure(model, values))
+                p = files.dir / "problem_details.json"
+                if not p.exists():
+                    return self._json({"html": ""})
+                try:
+                    details = json.loads(p.read_text())
+                except json.JSONDecodeError:
+                    return self._json({"html": ""})
+                return self._json({"html": problem_details_html(details)})
+            if len(parts) == 4 and parts[:2] == ["api", "topology"]:
+                # /api/topology/<model>/<encoded|qpu>  (figure JSON, parity)
+                model = model_dir(parts[2])
+                if model is None or not (model / "grbm.pth").exists():
+                    return self._json({"error": "unknown model"}, 404)
+                return self._json(_topology_fig(model, parts[3]))
             if parts and parts[0] == "assets":
                 f = workdir.joinpath(*parts)
                 if f.is_file() and f.resolve().is_relative_to(workdir):
@@ -407,36 +489,59 @@ def make_server(workdir=".", port: int = 8050, extra_cli: list | None = None):
             except json.JSONDecodeError:
                 return self._json({"error": "bad json"}, 400)
             if self.path == "/api/train":
+                name = body.get("name", "tpu_model")
+                if not valid_name(name):
+                    return self._json({"error": "invalid model name"}, 400)
                 ok = jobs.start("train", [
-                    "train", "--name", str(body.get("name", "tpu_model")),
+                    "train", "--name", name,
                     "--qpu", str(body.get("qpu", ui_config.DEFAULT_QPU)),
                     "--latents", str(int(body.get("latents", 256))),
                     "--epochs", str(int(body.get("epochs", 10))),
                 ] + extra)
                 return self._json({"started": ok}, 200 if ok else 409)
-            if self.path == "/api/generate":
-                model = workdir / "models" / str(body.get("model", ""))
+            if self.path in ("/api/generate", "/api/tune", "/api/refresh_model"):
+                model = model_dir(body.get("model", ""))
+                if model is None:
+                    return self._json({"error": "invalid model name"}, 400)
                 if not (model / "dvae.pth").exists():
                     return self._json({"error": "unknown model"}, 404)
-                args = ["generate", "--model", str(model)]
-                if body.get("sharpen"):
-                    args.append("--sharpen")
-                ok = jobs.start("generate", args + extra)
-                return self._json({"started": ok}, 200 if ok else 409)
-            if self.path == "/api/tune":
-                model = workdir / "models" / str(body.get("model", ""))
-                if not (model / "dvae.pth").exists():
-                    return self._json({"error": "unknown model"}, 404)
-                ok = jobs.start("tune", [
-                    "tune", "--model", str(model),
-                    "--epochs", str(int(body.get("epochs", 5))),
-                ] + extra)
+                if self.path == "/api/generate":
+                    args = ["generate", "--model", str(model)]
+                    if body.get("sharpen"):
+                        args.append("--sharpen")
+                    ok = jobs.start("generate", args + extra)
+                elif self.path == "/api/tune":
+                    ok = jobs.start("tune", [
+                        "tune", "--model", str(model),
+                        "--epochs", str(int(body.get("epochs", 5))),
+                    ] + extra)
+                else:
+                    ok = jobs.start(
+                        "refresh", ["refresh", "--model", str(model)] + extra
+                    )
                 return self._json({"started": ok}, 200 if ok else 409)
             if self.path == "/api/cancel":
                 return self._json({"cancelled": jobs.cancel()})
             self._json({"error": "not found"}, 404)
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    def _safe_epoch(seg: str, suffix: str) -> int:
+        if seg.endswith(suffix):
+            seg = seg[: -len(suffix)]
+        return int(seg)  # ValueError → caught by the render guard → 404
+
+    def _topology_fig(model: Path, kind: str) -> dict:
+        values = None
+        vf = workdir / "assets" / "model_diagram" / f"latent_{kind}.json"
+        if vf.exists():
+            try:
+                values = json.loads(vf.read_text())
+            except json.JSONDecodeError:
+                values = None
+        from image_generation_tpu.app.figures import model_topology_figure
+
+        return model_topology_figure(model, values)
+
+    server = ThreadingHTTPServer((host, port), Handler)
     server.jobs = jobs  # for tests/embedding
     return server
 
@@ -447,10 +552,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8050)
     ap.add_argument("--workdir", default=".")
+    ap.add_argument(
+        "--host", default="127.0.0.1",
+        help="bind address (default loopback; 0.0.0.0 to expose)",
+    )
     ap.add_argument("--debug", action="store_true")  # reference --debug flag
     args = ap.parse_args(argv)
-    server = make_server(args.workdir, args.port)
-    print(f"serving on http://localhost:{args.port} (workdir={args.workdir})")
+    server = make_server(args.workdir, args.port, host=args.host)
+    print(f"serving on http://{args.host}:{args.port} (workdir={args.workdir})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

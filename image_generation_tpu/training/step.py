@@ -107,6 +107,8 @@ class TrainStepFns:
         sample_fn,
         step_body,
         rebuild_sampler,
+        dvae_lr=None,
+        grbm_lr=None,
     ):
         self.config = config
         self.graph = graph
@@ -117,6 +119,8 @@ class TrainStepFns:
         self.sample = sample_fn
         self.step_body = step_body  # unjitted: for sharded/pjit wrapping
         self.rebuild_sampler = rebuild_sampler  # refresh cache after swapping params
+        self.dvae_lr = dvae_lr  # step → LR (observability: the reference
+        self.grbm_lr = grbm_lr  # prints/dumps both per epoch)
 
 
 def make_train_fns(
@@ -399,5 +403,6 @@ def make_train_fns(
         )
 
     return TrainStepFns(
-        cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body, rebuild_sampler
+        cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body,
+        rebuild_sampler, dvae_lr=dvae_lr, grbm_lr=grbm_lr,
     )

@@ -150,17 +150,42 @@ class Trainer:
         self.losses["dvae_losses"].append(float(metrics.dvae_loss))
         return mse
 
-    def train_epoch(self, epoch: int) -> dict:
-        """One full epoch as a single scanned XLA dispatch."""
+    def train_epoch(self, epoch: int, batch_cb=None, n_chunks: int = 1) -> dict:
+        """One full epoch as scanned XLA dispatches.
+
+        ``n_chunks`` > 1 splits the epoch scan into equal chunks (the largest
+        divisor of n_batches ≤ n_chunks, so every chunk reuses one compiled
+        executable) and calls ``batch_cb(batches_done, n_batches)`` between
+        them — batch-granular progress (the reference reports per-batch,
+        demo_callbacks.py:358-385) at a bounded dispatch-overhead cost."""
         if not self._init_done:
             raise TrainingError("Initialization required before training.")
         batches = permuted_epoch(self.images, self.config.BATCH_SIZE, self._next_key())
-        self.state, metrics = self.fns.epoch(self.state, batches, jnp.asarray(epoch))
-        mses = np.asarray(metrics.mse)
-        totals = np.asarray(metrics.dvae_loss)
+        nb = int(batches.shape[0])
+        k = max(1, min(int(n_chunks), nb))
+        while nb % k:
+            k -= 1
+        chunk = nb // k
+        mse_parts, total_parts = [], []
+        for i in range(k):
+            seg = batches[i * chunk : (i + 1) * chunk]
+            self.state, metrics = self.fns.epoch(self.state, seg, jnp.asarray(epoch))
+            mse_parts.append(np.asarray(metrics.mse))
+            total_parts.append(np.asarray(metrics.dvae_loss))
+            if batch_cb is not None and k > 1:
+                batch_cb((i + 1) * chunk, nb)
+        mses = np.concatenate(mse_parts)
+        totals = np.concatenate(total_parts)
         self.losses["mse_losses"].extend(mses.tolist())
         self.losses["dvae_losses"].extend(totals.tolist())
         return {"mse": float(mses.mean()), "dvae_loss": float(totals.mean())}
+
+    def current_lrs(self) -> tuple:
+        """(DVAE LR, GRBM LR) at the current opt_step — what the reference
+        prints and dumps into problem_details each epoch
+        (src/utils/callback_helpers.py:186-204)."""
+        s = int(self.state.opt_step)
+        return float(self.fns.dvae_lr(s)), float(self.fns.grbm_lr(s))
 
     def train(
         self,
@@ -170,6 +195,8 @@ class Trainer:
         metrics_log=None,
         profile_dir: Optional[str] = None,
         checkpoint_dir: Optional[str] = None,
+        batch_cb: Optional[Callable[[int, int, int], None]] = None,
+        epoch_chunks: int = 1,
     ) -> dict:
         """Full training run (the reference's ``execute_training`` epoch loop,
         src/utils/callback_helpers.py:144-221, minus the UI file writes which
@@ -185,7 +212,12 @@ class Trainer:
         with profile(profile_dir):
             for epoch in range(n_epochs):
                 t0 = time.perf_counter()
-                stats = self.train_epoch(epoch)
+                cb = (
+                    (lambda done, nb, e=epoch: batch_cb(e, done, nb))
+                    if batch_cb is not None
+                    else None
+                )
+                stats = self.train_epoch(epoch, batch_cb=cb, n_chunks=epoch_chunks)
                 # time only the training dispatch: the callbacks below write
                 # figures/diagrams/checkpoints, which can dominate an epoch
                 # on fast chips and must not deflate images_per_s

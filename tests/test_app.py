@@ -46,9 +46,16 @@ def test_runfiles_protocol(tmp_path):
     assert rf.read_epoch_figure("generated", 1) is None  # not written yet
     rf.write_progress(3, 10)
     assert rf.read_progress() == {"step": 3, "total": 10}
-    rf.write_problem_details("Advantage2_system1", 32, 100, 64, "gibbs")
+    rf.write_progress(3, 10, batch=117, n_batches=468)  # batch-granular form
+    assert rf.read_progress() == {"step": 3, "total": 10, "batch": 117, "n_batches": 468}
+    rf.write_problem_details(
+        "Advantage2_system1", 32, 100, 64, "gibbs",
+        extra={"Epoch": "3/10", "Learning rate DVAE": "1.000E-04"},
+    )
     details = json.loads((rf.dir / "problem_details.json").read_text())
-    assert details["n_edges"] == 100
+    assert details["Couplers"] == 100
+    assert details["QPU"] == "Advantage2_system1"
+    assert details["Epoch"] == "3/10"  # reference per-epoch headers
     rf.write_latent_encoded([1.0, -1.0])
     assert (tmp_path / "assets/model_diagram/latent_encoded.json").exists()
     # corrupt file → None, not crash (the reference treats it as

@@ -93,6 +93,99 @@ def test_asset_traversal_blocked(server):
     assert status == 404
 
 
+def test_name_validation():
+    """The reference's file_name_validation pattern ^[\\w-]+$
+    (demo_callbacks.py:441-457)."""
+    from image_generation_tpu.app.server import valid_name
+
+    assert valid_name("my_model-2")
+    assert not valid_name("")
+    assert not valid_name("a/b")
+    assert not valid_name("../escape")
+    assert not valid_name("/abs/path")
+    assert not valid_name("name with space")
+    assert not valid_name(None)
+    assert not valid_name(42)
+
+
+def test_post_traversal_blocked(server):
+    """POST bodies with traversal/absolute model names are rejected with 400
+    before any path join (ADVICE r1: Path join discards the base for
+    absolute paths)."""
+    srv, port, tmp = server
+    for bad in ("../outside", "/etc", "a/b", "..", ""):
+        for ep in ("/api/generate", "/api/tune", "/api/refresh_model"):
+            status, resp = _post(port, ep, {"model": bad})
+            assert status == 400, (ep, bad, status)
+    status, _ = _post(port, "/api/train", {"name": "../evil"})
+    assert status == 400
+    # the same names are rejected on the GET topology endpoints too
+    status, _ = _get(port, "/api/topology/../x/encoded")
+    assert status == 404
+
+
+def test_figure_bad_epoch_404(server):
+    """Non-numeric epoch must 404, not crash the handler thread (ADVICE r1)."""
+    srv, port, _ = server
+    status, _ = _get(port, "/api/figure/generated/notanumber")
+    assert status == 404
+    status, _ = _get(port, "/api/render/generated/notanumber.png")
+    assert status == 404
+
+
+def test_render_endpoints(server):
+    """Server-side rendering endpoints: PNG + SVG bodies from the figure
+    files (the page's <img> sources)."""
+    srv, port, tmp = server
+    import numpy as np
+
+    from image_generation_tpu.app.files import RunFiles
+
+    status, _ = _get(port, "/api/render/generated/0.png")
+    assert status == 404  # nothing written yet
+    rf = RunFiles(tmp)
+    rf.write_epoch(0, np.zeros((4, 4, 1)), np.ones((4, 4, 1)), [1.0, 0.5], [2.0, 1.5])
+    status, body = _get(port, "/api/render/generated/0.png")
+    assert status == 200 and body[:4] == b"\x89PNG"
+    status, body = _get(port, "/api/render/loss_mse/0.svg")
+    assert status == 200 and body.startswith(b"<svg")
+    status, body = _get(port, "/api/render/loss_total/0.svg")
+    assert status == 200 and b"polyline" in body
+
+    # latent strip: 404 before the diagram exists, SVG after
+    status, _ = _get(port, "/api/render/latent_strip.svg")
+    assert status == 404
+    rf.write_latent_encoded([1.0, -1.0, 1.0, 1.0, -1.0, 1.0])
+    status, body = _get(port, "/api/render/latent_strip.svg")
+    assert status == 200 and body.count(b"<rect") == 6
+
+
+def test_problem_details_html_endpoint(server):
+    srv, port, tmp = server
+    status, body = _get(port, "/api/problem_details_html")
+    assert json.loads(body) == {"html": ""}
+    from image_generation_tpu.app.files import RunFiles
+
+    RunFiles(tmp).write_problem_details(
+        "Advantage2_system1", 32, 100, 64, "gibbs", extra={"Epoch": "1/2"}
+    )
+    status, body = _get(port, "/api/problem_details_html")
+    html = json.loads(body)["html"]
+    assert html.startswith('<table class="problem-details-table">')
+    assert "<th>Epoch</th>" in html and "<td>1/2</td>" in html
+
+
+def test_page_has_validation_and_captions(server):
+    srv, port, _ = server
+    _, body = _get(port, "/")
+    html = body.decode()
+    assert "validateName" in html and "name-help" in html
+    assert "Epochs Completed" in html and "Batch:" in html
+    assert "latent-strip" in html and "refresh_model" in html
+    for ph in ("{title}", "{css}", "{qpu_options}", "{theme}", "{theme2}"):
+        assert ph not in html  # no unformatted placeholders
+
+
 @pytest.mark.slow
 def test_background_train_job(server):
     """Full job lifecycle through the web surface (tiny run)."""
@@ -125,3 +218,32 @@ def test_background_train_job(server):
     assert state["latest_epoch"] == 0
     status, _ = _get(port, "/assets/model_diagram/step_1_input.png")
     assert status == 200
+    # batch-granular progress was written during the run (progress-chunks)
+    _, body = _get(port, "/api/state")
+    prog = json.loads(body)["progress"]
+    assert prog["total"] == 1 and "n_batches" in prog
+    # problem details carry the reference's per-epoch headers
+    _, body = _get(port, "/api/problem_details")
+    details = json.loads(body)
+    assert details["Epoch"] == "1/1" and "Learning rate DVAE" in details
+
+    # --- model-switch refresh job (check_qpu_and_update_model parity) ---
+    step2 = tmp / "assets" / "model_diagram" / "step_2_encode.png"
+    before = step2.stat().st_mtime
+    status, resp = _post(port, "/api/refresh_model", {"model": "webrun"})
+    assert resp["started"]
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        _, body = _get(port, "/api/state")
+        state = json.loads(body)
+        if state["job"]["state"] in ("done", "failed"):
+            break
+        time.sleep(2)
+    assert state["job"]["state"] == "done", state
+    assert state["job"]["kind"] == "refresh"
+    assert step2.stat().st_mtime > before  # diagram regenerated without a train job
+    # rendered topology + latent strip now serve for the refreshed model
+    status, body = _get(port, "/api/render/topology/webrun/encoded.svg")
+    assert status == 200 and body.count(b"<circle") >= 32
+    status, body = _get(port, "/api/render/latent_strip.svg")
+    assert status == 200 and body.count(b"<rect") == 6
