@@ -36,7 +36,9 @@ def cached_latent_graph(
     from image_generation_tpu.utils.subgraph import select_latent_graph
     from image_generation_tpu.utils.topology import graph_for_qpu
 
-    key = f"{qpu}_{n_latents}_{random_seed}.npz"
+    # v2: Zephyr boundary couplers fixed to the canonical convention
+    # (topology.zephyr_graph docstring) — old cached selections are stale
+    key = f"{qpu}_{n_latents}_{random_seed}_v2.npz"
     path = _cache_dir() / key
     if not os.environ.get("IMGGEN_NO_GRAPH_CACHE") and path.exists():
         try:

@@ -211,27 +211,37 @@ def _peg_u(node: int, m: int) -> int:
 def zephyr_graph(m: int, t: int = 4) -> nx.Graph:
     """Ideal Zephyr graph Z(m, t).
 
-    Geometric construction.  A qubit has coordinate (u, w, k, j, z) with
-    orientation u ∈ {0, 1}, perpendicular offset w ∈ [0, 2m], wire index
-    k ∈ [0, t), half-offset j ∈ {0, 1} and parallel offset z ∈ [0, m).  A
-    vertical qubit (0, w, k, j, z) is a segment at column w spanning rows
-    [2z + j, 2z + j + 2] (endpoints at 2z+j and 2z+j+2, midpoint at 2z+j+1);
-    horizontal qubits are the transpose.
+    A qubit has coordinate (u, w, k, j, z) with orientation u ∈ {0, 1},
+    perpendicular offset w ∈ [0, 2m], wire index k ∈ [0, t), half-offset
+    j ∈ {0, 1} and parallel offset z ∈ [0, m).  A vertical qubit
+    (0, w, k, j, z) is a segment at column w spanning rows
+    [2z + j, 2z + j + 2]; horizontal qubits are the transpose.
 
-    Couplers:
-      * internal — an endpoint of one qubit meets the midpoint of an
-        orthogonal qubit (2 endpoints × t wires + 1 midpoint × 2 abutting
-        spans × t wires = 4t internal couplers per interior qubit);
+    Couplers (Boothby, Raymond & King, "Zephyr Topology of D-Wave Quantum
+    Processors"; counts verified against the closed forms below in
+    tests/test_topology.py):
+
+      * internal — a vertical qubit (0, wv, kv, jv, zv) couples all t wires
+        of the four horizontal offset classes (wh, jh) with
+        wh ∈ {2·zv + 1, 2·zv + 2·jh}, jh ∈ {0, 1}, at the single parallel
+        offset zh = (wv−1)/2 (wv odd) or wv/2 − jv (wv even), when
+        0 ≤ zh < m.  Geometrically: a span endpoint meets an orthogonal
+        span's midpoint, with boundary contacts retained by clipping spans
+        to the [0, 2m] frame rather than dropping them — so exactly the two
+        half-outside wire classes (w=0, j=1) and (w=2m, j=0) per orientation
+        have no internal couplers, and every other qubit has the full 4t.
+        Count: 16·t²·m².
       * external — collinear spans abutting end-to-end:
-        (u,w,k,j,z)–(u,w,k,j,z+1);
+        (u,w,k,j,z)–(u,w,k,j,z+1).  Count: 4·t·(2m+1)·(m−1).
       * odd      — collinear spans overlapping by one unit:
         (u,w,k,0,z)–(u,w,k,1,z) and (u,w,k,1,z)–(u,w,k,0,z+1).
+        Count: 2·t·(2m+1)·(2m−1).
 
-    Interior qubits have degree 4t + 2 + 2 = 20 for t = 4.
-
-    Node count is 4·t·m·(2m+1) — Z(15, 4) has 7440 qubits, matching the
-    Advantage2 generation whose checkpoints the reference ships
-    (models/Advantage2_system1_*, 256-node subgraphs with 2059 edges).
+    Total |E| = 16·t²·m² + 2·t·(2m+1)·(4m−3); interior degree
+    4t + 2 + 2 = 20 for t = 4 (the Advantage2 generation's published 20-way
+    connectivity).  Node count is 4·t·m·(2m+1) — Z(15, 4) has 7440 qubits
+    and 71,736 couplers, matching the Advantage2 generation whose
+    checkpoints the reference ships (models/Advantage2_system1_*).
 
     Linear index of (u, w, k, j, z) = (((u·(2m+1) + w)·t + k)·2 + j)·m + z.
     """
@@ -254,39 +264,22 @@ def zephyr_graph(m: int, t: int = 4) -> nx.Graph:
                     if z + 1 < m:
                         g.add_edge(idx(u, w, k, 1, z), idx(u, w, k, 0, z + 1))
 
-    # internal couplers: endpoint of vertical meets midpoint of horizontal,
-    # or midpoint of vertical meets endpoint of horizontal.
+    # internal couplers — canonical rule (docstring above).  One vertical
+    # offset class (wv, jv) meets horizontals at exactly one zh; each zv row
+    # contributes the four (wh, jh) partner classes, t×t wires each.
     for wv in range(W):
         for jv in range(2):
+            zh = (wv - 1) // 2 if wv % 2 else wv // 2 - jv
+            if not (0 <= zh < m):
+                continue  # the half-outside classes (0, j=1) / (2m, j=0)
             for zv in range(m):
-                lo = 2 * zv + jv  # endpoints at lo, lo+2; midpoint lo+1
-                # (a) horizontal qubits whose midpoint row is an endpoint of v:
-                #     midpoint of h(1, wh, ·, jh, zh) is at column 2zh+jh+1 = wv
-                #     and its row wh ∈ {lo, lo+2}.
-                jh, zh = (wv - 1) % 2, (wv - 1) // 2
-                if 0 <= zh < m:
-                    for wh in (lo, lo + 2):
-                        if 0 <= wh <= 2 * m:
-                            for kv in range(t):
-                                for kh in range(t):
-                                    g.add_edge(
-                                        idx(0, wv, kv, jv, zv), idx(1, wh, kh, jh, zh)
-                                    )
-                # (b) horizontal qubits with an endpoint at v's midpoint row
-                #     lo+1: their row wh = lo+1 and column span endpoint
-                #     2zh+jh ∈ {wv-2, wv}.
-                wh = lo + 1
-                if 0 <= wh <= 2 * m:
-                    for start in (wv - 2, wv):
-                        if start < 0:
-                            continue
-                        jh, zh = start % 2, start // 2
-                        if 0 <= zh < m:
-                            for kv in range(t):
-                                for kh in range(t):
-                                    g.add_edge(
-                                        idx(0, wv, kv, jv, zv), idx(1, wh, kh, jh, zh)
-                                    )
+                for jh in range(2):
+                    for wh in (2 * zv + 1, 2 * zv + 2 * jh):
+                        for kv in range(t):
+                            for kh in range(t):
+                                g.add_edge(
+                                    idx(0, wv, kv, jv, zv), idx(1, wh, kh, jh, zh)
+                                )
 
     # plotting coordinates: segment midpoint, wires fanned slightly.
     pos = {}

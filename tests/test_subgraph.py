@@ -38,7 +38,10 @@ def test_reference_scale_edge_density():
     """
     zg = zephyr_graph(15)
     sub, _ = select_latent_graph(zg, 256, 775321899904)
-    assert 1700 <= sub.number_of_edges() <= 2300
+    # ideal graph (no dead qubits) + greedy densest-region growth lands above
+    # the defective-hardware checkpoint's 2059; interior degree 20 caps the
+    # density at 256·20/2 = 2560
+    assert 2000 <= sub.number_of_edges() <= 2560
     pg = pegasus_graph(16)
     sub_p, _ = select_latent_graph(pg, 256, 775321899904)
     assert 1300 <= sub_p.number_of_edges() <= 1900

@@ -41,9 +41,27 @@ def test_pegasus_interior_degree_is_15():
     assert max(hist) == 15
 
 
+def _zephyr_closed_form_edges(m: int, t: int) -> int:
+    """|E(Z(m,t))| = internal 16·t²·m² + external 4·t·(2m+1)·(m−1)
+    + odd 2·t·(2m+1)·(2m−1) (Boothby-Raymond-King Zephyr report)."""
+    return 16 * t * t * m * m + 4 * t * (2 * m + 1) * (m - 1) + 2 * t * (2 * m + 1) * (
+        2 * m - 1
+    )
+
+
+@pytest.mark.parametrize("m,t", [(1, 1), (1, 4), (2, 4), (3, 2), (6, 4), (15, 4)])
+def test_zephyr_closed_form_edge_count(m, t):
+    """Pin the generator to the analytic coupler count for ideal Z(m,t) —
+    resolves the r1 boundary-convention uncertainty (VERDICT r1 item 4)."""
+    g = zephyr_graph(m, t)
+    assert g.number_of_nodes() == 4 * t * m * (2 * m + 1)
+    assert g.number_of_edges() == _zephyr_closed_form_edges(m, t)
+
+
 def test_zephyr_z15_matches_advantage2_scale():
     g = zephyr_graph(15)
     assert g.number_of_nodes() == 7440  # 16·m·(2m+1)
+    assert g.number_of_edges() == 71736  # 57600 internal + 6944 ext + 7192 odd
     assert nx.is_connected(g)
     assert max(dict(g.degree()).values()) == 20
 
@@ -52,6 +70,31 @@ def test_zephyr_interior_degree_is_20():
     g = zephyr_graph(6)
     hist = collections.Counter(dict(g.degree()).values())
     assert hist[20] > 0.5 * g.number_of_nodes()
+    assert max(hist) == 20
+
+
+def test_zephyr_internal_coupler_structure():
+    """Every qubit has the full 4t internal couplers except the two
+    half-outside wire classes (w=0, j=1) and (w=2m, j=0) per orientation,
+    which have none (the canonical boundary convention)."""
+    m, t = 3, 4
+    g = zephyr_graph(m, t)
+    W = 2 * m + 1
+
+    def coords(node):
+        node, z = divmod(node, m)
+        node, j = divmod(node, 2)
+        node, k = divmod(node, t)
+        u, w = divmod(node, W)
+        return u, w, k, j, z
+
+    for node in g.nodes:
+        u, w, k, j, z = coords(node)
+        internal = sum(1 for nb in g.neighbors(node) if coords(nb)[0] != u)
+        if (w == 0 and j == 1) or (w == 2 * m and j == 0):
+            assert internal == 0, (node, coords(node), internal)
+        else:
+            assert internal == 4 * t, (node, coords(node), internal)
 
 
 @pytest.mark.parametrize("qpu", list(QPU_TOPOLOGIES))
