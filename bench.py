@@ -95,10 +95,19 @@ def main():
 
     fns = make_train_fns(cfg, graph, total_steps=steps * 2)
     key = jax.random.PRNGKey(0)
-    images = jnp.round(
-        jax.random.uniform(key, (cfg.BATCH_SIZE, cfg.IMAGE_SIZE, cfg.IMAGE_SIZE, 1))
+    from image_generation_tpu.utils.data import permuted_epoch
+
+    # a real dataset of steps·B DISTINCT images; each timed epoch re-permutes
+    # it on device exactly like Trainer.train_epoch (utils/data.py:181-186),
+    # so the headline includes the per-epoch gather — not a broadcast of one
+    # repeated batch (r1 VERDICT weak item 7)
+    dataset = jnp.round(
+        jax.random.uniform(
+            key, (steps * cfg.BATCH_SIZE, cfg.IMAGE_SIZE, cfg.IMAGE_SIZE, 1)
+        )
     ).astype(jnp.float32)
-    batches = jnp.broadcast_to(images, (steps, *images.shape))
+    images = dataset[: cfg.BATCH_SIZE]
+    batches = permuted_epoch(dataset, cfg.BATCH_SIZE, key)
 
     t0 = time.perf_counter()
     state = fns.init(key, images[:1])
@@ -121,10 +130,12 @@ def main():
 
     # timed run: several CHAINED epoch calls (state evolves between calls —
     # repeating an identical call can be served from an execution cache on
-    # some backends and reads as infinite throughput)
+    # some backends and reads as infinite throughput); each rep re-permutes
+    # the dataset like the Trainer does
     reps = 4
     t0 = time.perf_counter()
     for r in range(reps):
+        batches = permuted_epoch(dataset, cfg.BATCH_SIZE, jax.random.PRNGKey(10 + r))
         state, metrics = fns.epoch(state, batches, jnp.asarray(2 + r))
     # single hard sync: the calls chain through `state`, so fetching a value
     # of the last epoch forces the whole sequence

@@ -42,7 +42,14 @@ def _build_trainer(args, for_load: bool = False):
     )
     if not for_load:
         cfg = cfg.replace(QPU=args.qpu)
-    return Trainer(qpu=cfg.QPU, config=cfg)
+    mesh = getattr(args, "mesh", "auto")
+    if mesh == "off":
+        mesh = None
+    elif mesh not in (None, "auto"):
+        from image_generation_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(int(mesh))
+    return Trainer(qpu=cfg.QPU, config=cfg, mesh=mesh)
 
 
 def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None):
@@ -236,6 +243,11 @@ def main(argv=None):
         default=None,
         help="force a JAX platform (e.g. cpu); env JAX_PLATFORMS alone does "
         "not work where a sitecustomize overrides it via jax.config",
+    )
+    common.add_argument(
+        "--mesh", default="auto",
+        help="multi-chip mesh: 'auto' (all local devices, the default), "
+        "'off' (single device), or a device count (e.g. 8)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,

@@ -59,8 +59,9 @@ class TrainingConfig:
     # "float32" forces bit-level determinism (sharding-equivalence tests).
     USE_PALLAS: str = "auto"  # "auto" | "on" | "off" — fused Pallas Gibbs
     # kernel for the training-step negative phase. auto = on for TPU
-    # backends when the problem fits VMEM; the sharded multi-chip path uses
-    # the XLA sampler (pallas+GSPMD partitioning lands with shard_map)
+    # backends when the problem fits VMEM. On a multi-chip mesh the kernel
+    # runs under shard_map (zero-comm chain sharding) whenever the chain
+    # count tiles the mesh; otherwise the XLA sampler partitions via GSPMD.
 
     # --- model/problem shape (reference passes these via ModelWrapper args) ---
     QPU: str = "Advantage2_system1"

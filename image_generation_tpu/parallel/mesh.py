@@ -25,7 +25,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["create_mesh", "shard_train_state", "shard_batch", "replicate"]
+__all__ = [
+    "create_mesh",
+    "auto_mesh",
+    "shard_train_state",
+    "shard_batch",
+    "shard_epoch_batches",
+    "replicate",
+]
 
 
 def create_mesh(
@@ -49,6 +56,15 @@ def create_mesh(
     return Mesh(arr, axis_names)
 
 
+def auto_mesh() -> Optional[Mesh]:
+    """The default product mesh: all local devices, or None on one device.
+
+    Trainer/CLI call this so that on a multi-chip host (e.g. a v5e-8 slice)
+    training is sharded BY DEFAULT — the capability the reference lacks
+    entirely (single ``torch.device``, src/model_wrapper.py:179)."""
+    return create_mesh() if len(jax.devices()) > 1 else None
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate every leaf of a pytree across the mesh."""
     s = NamedSharding(mesh, P())
@@ -60,11 +76,21 @@ def shard_batch(images: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(images, NamedSharding(mesh, P("data")))
 
 
+def shard_epoch_batches(batches: jax.Array, mesh: Mesh) -> jax.Array:
+    """Shard an epoch's (n_batches, B, H, W, C) stack along ``data`` (the
+    per-step batch axis); the scan axis stays unsharded."""
+    return jax.device_put(batches, NamedSharding(mesh, P(None, "data")))
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState on the mesh: chains row-sharded over ``chain``
     (and ``data``, jointly, when chains are plentiful), everything else
     replicated.  Committed shardings propagate through the jitted step, so
-    no re-wrapping of the step function is needed (GSPMD)."""
+    no re-wrapping of the step function is needed (GSPMD).
+
+    In PT mode chains are (T, C, n_pad): the temperature ladder is the
+    sharded axis, so the replica-exchange ``jnp.roll`` becomes a cross-device
+    ppermute over ICI."""
     state = replicate(state, mesh)
     chain_sharding = NamedSharding(mesh, P(("data", "chain")))
     return state.replace(chains=jax.device_put(state.chains, chain_sharding))

@@ -128,11 +128,19 @@ def make_train_fns(
     graph: GRBMGraph,
     total_steps: int,
     plan: Optional[GibbsPlan] = None,
+    mesh=None,
 ) -> TrainStepFns:
     """Build init/step/epoch functions for a config + coupling graph.
 
     ``total_steps`` = n_epochs · n_batches, fixing the LR schedules
     (reference: src/model_wrapper.py:263-268).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the multi-chip training path.
+    The fused step itself is partitioned by GSPMD from the input shardings
+    (parallel/mesh.py); the only explicit change is the negative phase:
+    the Pallas kernel cannot be auto-partitioned, so it is wrapped in
+    ``shard_map`` (ops/gibbs_pallas.gibbs_sweeps_pallas_sharded — chains are
+    independent, zero inter-chip communication).
     """
     if plan is None:
         plan = build_plan(graph)
@@ -167,6 +175,13 @@ def make_train_fns(
     pallas_vmem = supported_by_pallas(plan, _eff_chains)
     pt_mode = cfg.SAMPLER == "pt"
     betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
+    # multi-chip: shard_map the Pallas kernel over the chain rows when they
+    # tile the mesh exactly; otherwise the XLA sampler (which GSPMD
+    # partitions on its own from the chains' sharding) keeps correctness.
+    pallas_sharded = (
+        mesh is not None and mesh.devices.size > 1
+        and _eff_chains % mesh.devices.size == 0
+    )
 
     if cfg.SAMPLER_MATMUL_DTYPE == "auto":
         # bf16 pays only when coupling-matrix traffic dominates the cast cost
@@ -178,6 +193,15 @@ def make_train_fns(
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
         if use_pallas and pallas_vmem:
+            if pallas_sharded:
+                from image_generation_tpu.ops.gibbs_pallas import (
+                    gibbs_sweeps_pallas_sharded,
+                )
+
+                return gibbs_sweeps_pallas_sharded(
+                    key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
+                    matmul_dtype=mm_dtype,
+                )
             return gibbs_sweeps_pallas(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
             )

@@ -51,7 +51,13 @@ class Trainer:
         n_latents: Optional[int] = None,
         training_parameter_file: Optional[str] = None,
         config: Optional[TrainingConfig] = None,
+        mesh="auto",
     ):
+        """``mesh``: multi-chip training control — "auto" (default) creates
+        a mesh over all local devices when more than one is visible (so a
+        v5e-8 slice trains sharded out of the box — the capability the
+        reference lacks, src/model_wrapper.py:179), None forces
+        single-device, or pass an explicit ``jax.sharding.Mesh``."""
         if config is None:
             config = (
                 TrainingConfig.from_yaml(training_parameter_file)
@@ -64,6 +70,11 @@ class Trainer:
         self.config = config
         self.qpu = qpu
         self.n_latents = config.N_LATENTS
+        if mesh == "auto":
+            from image_generation_tpu.parallel.mesh import auto_mesh
+
+            mesh = auto_mesh()
+        self.mesh = mesh
 
         self.graph: Optional[GRBMGraph] = None
         self.plan = None
@@ -126,7 +137,9 @@ class Trainer:
 
         self._n_epochs = n_epochs
         total_steps = n_epochs * self.n_batches
-        self.fns = make_train_fns(self.config, self.graph, total_steps, self.plan)
+        self.fns = make_train_fns(
+            self.config, self.graph, total_steps, self.plan, mesh=self.mesh
+        )
         state = self.fns.init(self._next_key(), self.images[:1])
         if keep:
             state = state.replace(
@@ -135,8 +148,18 @@ class Trainer:
                 grbm_params=old_state.grbm_params,
             )
             state = self.fns.rebuild_sampler(state)
-        self.state = state
+        self.state = self._shard(state)
         self._init_done = True
+
+    def _shard(self, state):
+        """Commit the mesh shardings on a fresh/loaded train state
+        (parallel/mesh.py: chains over data×chain, rest replicated —
+        GSPMD propagates them through the jitted step)."""
+        if self.mesh is None:
+            return state
+        from image_generation_tpu.parallel.mesh import shard_train_state
+
+        return shard_train_state(state, self.mesh)
 
     def step(self, batch, epoch: int) -> float:
         """Train on one batch; returns the MSE loss
@@ -161,6 +184,10 @@ class Trainer:
         if not self._init_done:
             raise TrainingError("Initialization required before training.")
         batches = permuted_epoch(self.images, self.config.BATCH_SIZE, self._next_key())
+        if self.mesh is not None and self.config.BATCH_SIZE % self.mesh.shape["data"] == 0:
+            from image_generation_tpu.parallel.mesh import shard_epoch_batches
+
+            batches = shard_epoch_batches(batches, self.mesh)
         nb = int(batches.shape[0])
         k = max(1, min(int(n_chunks), nb))
         while nb % k:
@@ -293,12 +320,14 @@ class Trainer:
         if self.images is None:
             self._load_dataset()
         total_steps = max(parameters.get("n_epochs", 1), 1) * max(self.n_batches, 1)
-        self.fns = make_train_fns(self.config, self.graph, total_steps, self.plan)
+        self.fns = make_train_fns(
+            self.config, self.graph, total_steps, self.plan, mesh=self.mesh
+        )
         state = self.fns.init(self._next_key(), self.images[:1])
         state = state.replace(
             dvae_params=dvae_params, batch_stats=batch_stats, grbm_params=grbm_params
         )
-        self.state = self.fns.rebuild_sampler(state)
+        self.state = self._shard(self.fns.rebuild_sampler(state))
         self._init_done = True
 
     def save_native(self, directory) -> None:
@@ -324,7 +353,7 @@ class Trainer:
 
         if not self._init_done:
             self.train_init(n_epochs)
-        self.state = restore_train_state(directory, self.state)
+        self.state = self._shard(restore_train_state(directory, self.state))
         step = latest_step(directory)
         losses_file = _Path(directory) / f"losses_step_{step:08d}.json"
         if losses_file.exists():
