@@ -68,7 +68,10 @@ def main():
         cfg = TrainingConfig(
             N_LATENTS=full.number_of_nodes(),
             NUM_READS=64,
-            BATCH_SIZE=args.batch_size or 256,
+            # large-batch is the BASELINE.md scaled target; the step has
+            # ~18 ms of batch-independent cost (sampler+PT+optimizer,
+            # runs/scaled_profile.json) that big batches amortize
+            BATCH_SIZE=args.batch_size or 1024,
             N_REPLICAS=2,
             SAMPLER="pt",
             PT_NUM_BETAS=32,

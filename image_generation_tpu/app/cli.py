@@ -10,7 +10,13 @@ Usage:
   python -m image_generation_tpu.app.cli train --name my_model --epochs 10
   python -m image_generation_tpu.app.cli generate --model models/my_model
   python -m image_generation_tpu.app.cli tune --model models/my_model --epochs 5
+  python -m image_generation_tpu.app.cli refresh --model models/my_model
   python -m image_generation_tpu.app.cli models      # list saved models
+
+Multi-chip: ``--mesh auto`` (default) shards training over all local devices
+(``--mesh off`` forces one device; ``--mesh N`` uses N).  ``refresh``
+regenerates the model-diagram assets for a checkpoint without training (the
+reference's on-model-switch behavior, demo_callbacks.py:207-294).
 """
 
 from __future__ import annotations

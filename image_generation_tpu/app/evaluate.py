@@ -39,7 +39,6 @@ def evaluate_checkpoint(
     seed: int = 0,
 ) -> dict:
     from image_generation_tpu.config import TrainingConfig
-    from image_generation_tpu.models.grbm import energy, scaled_ising
     from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
     from image_generation_tpu.training.trainer import Trainer
 
@@ -53,39 +52,53 @@ def evaluate_checkpoint(
         "batch_stats": trainer.state.batch_stats,
     }
 
-    # ---- reconstruction MSE over the eval set (eval mode, 1 replica) ----
-    mses = []
+    # ---- reconstruction MSE over the eval set ----
+    # two numbers, because they answer different questions:
+    #   recon_mse            — eval mode (BN running stats, no dropout): the
+    #                          deployment-quality metric;
+    #   recon_mse_train_mode — train mode (BN batch stats, Dropout2d active,
+    #                          R replicas): computed EXACTLY like the entries
+    #                          of the reference's losses.json history
+    #                          (src/model_wrapper.py:297-305), so it is the
+    #                          number to compare against BASELINE.md's
+    #                          last-epoch mean ≈ 0.0645.
+    mses, mses_train = [], []
     all_spins = []
     n = int(trainer.images.shape[0])
+    n_replicas = trainer.config.N_REPLICAS
     for i in range(0, n - batch_size + 1, batch_size):
         batch = jax.lax.dynamic_slice_in_dim(trainer.images, i, batch_size, axis=0)
-        key, k = jax.random.split(key)
+        key, k, k2, kd = jax.random.split(key, 4)
         _, spins, recon = dvae.apply(
             variables, batch, n_replicas=1, train=False, rngs={"spins": k}
         )
         mses.append(float(jnp.mean(jnp.square(recon[:, 0] - batch))))
         all_spins.append(np.asarray(spins[:, 0]))
+        (_, _, recon_t), _ = dvae.apply(
+            variables, batch, n_replicas=n_replicas, train=True,
+            rngs={"spins": k2, "dropout": kd}, mutable=["batch_stats"],
+        )
+        target = jnp.broadcast_to(batch[:, None], recon_t.shape)
+        mses_train.append(float(jnp.mean(jnp.square(recon_t - target))))
     recon_mse = float(np.mean(mses))
+    recon_mse_train_mode = float(np.mean(mses_train))
     data_spins = jnp.asarray(np.concatenate(all_spins, axis=0))
 
-    # ---- generation + latent MMD ----
+    # ---- generation + latent MMD (through the sampler-backend protocol:
+    # the SampleSet carries the scaled-model energies) ----
     key, k = jax.random.split(key)
-    samples = trainer.sample_spins(num_reads=num_reads)
+    sample_set = trainer.sample_sampleset(num_reads=num_reads)
+    samples = jnp.asarray(sample_set.spins)
     mmd = float(mmd_loss(data_spins[: 4 * num_reads], samples, GaussianKernel(7)))
-
-    h, j = scaled_ising(
-        trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
-    )
-    from image_generation_tpu.models.grbm import GRBMParams
-
-    e = energy(GRBMParams(linear=h, quadratic=j), trainer.graph, samples)
+    e = sample_set.energies
     return {
         "model": str(Path(model_dir).name),
         "n_latents": trainer.n_latents,
         "n_edges": trainer.graph.n_edges,
         "recon_mse": round(recon_mse, 5),
+        "recon_mse_train_mode": round(recon_mse_train_mode, 5),
         "latent_mmd": round(mmd, 5),
-        "sample_energy_mean": round(float(jnp.mean(e)), 4),
+        "sample_energy_mean": round(float(np.mean(e)), 4),
         "data_source": trainer.data_source.origin,
     }
 
@@ -96,7 +109,14 @@ def main(argv=None):
     ap.add_argument("--dataset-size", type=int, default=2048)
     ap.add_argument("--num-reads", type=int, default=256)
     ap.add_argument("--out", default=None, help="write JSON results here")
+    ap.add_argument(
+        "--platform", default=None,
+        help="force a JAX platform (e.g. cpu); JAX_PLATFORMS alone is "
+        "overridden by this image's sitecustomize",
+    )
     args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     results = []
     root = Path(args.models)

@@ -7,12 +7,24 @@ this kernel keeps the coupling in HBM and streams one color-block of columns
 at a time into a double-buffered VMEM scratch:
 
   * grid over chain blocks (independent chains — embarrassingly parallel);
+  * the chain block's spins are DMA'd HBM→VMEM ONCE, held in a single
+    ``block_dtype`` buffer (±1 is exact in bf16) for the whole multi-sweep
+    run, and DMA'd back at the end — spins enter VMEM through a manual copy
+    instead of the BlockSpec pipeline so only ONE buffer is resident
+    (in/out pipeline buffers would double it), which lets the chain block
+    grow to 512 rows inside the VMEM budget;
   * per color c: the (n_pad × width_c) column block A[:, c0:c1] is DMA'd
     HBM→VMEM while the previous color computes (two scratch slots, two DMA
     semaphores);
   * fields/update math identical to the VMEM kernel (MXU matmul + on-core
-    PRNG Bernoulli), f32 accumulation; the streamed blocks are bf16 by
-    default (±1 spins exact, half the HBM traffic).
+    PRNG Bernoulli), f32 accumulation.
+
+Why the big chain block matters: each grid instance re-streams the full
+coupling matrix every sweep, so HBM traffic per sweep is
+(n_chains / block) × n_pad² × itemsize.  At the scaled config (2048
+effective PT chains, 5696-pad Pegasus) block 512 cuts the streaming 4×
+versus block 128 — past the point where the XLA sampler's per-color spin
+re-reads win (the r1 crossover at 256 chains no longer applies).
 
 Slot scheduling: the body unrolls TWO sweeps (2·C color steps, an even
 count), so the alternating slot pattern lines up across `fori_loop`
@@ -36,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from image_generation_tpu.ops.gibbs import GibbsPlan
 
-__all__ = ["gibbs_sweeps_pallas_hbm"]
+__all__ = ["gibbs_sweeps_pallas_hbm", "hbm_chain_block"]
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
 
 
 def _uniform_hw(chains, width):
@@ -45,22 +59,39 @@ def _uniform_hw(chains, width):
     return top24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _kernel(plan: GibbsPlan, n_half: int, max_w: int, use_hw_rng: bool,
-            *refs):
+def hbm_chain_block(
+    plan: GibbsPlan, n_chains: int, block_dtype=jnp.bfloat16, cap: int = 512
+) -> int:
+    """Largest divisor of ``n_chains`` ≤ cap whose VMEM footprint
+    (spin buffer + double-buffered coupling scratch + fields) fits the
+    budget."""
+    itemsize = jnp.dtype(block_dtype).itemsize
+    max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
+    scratch = 2 * plan.n_pad * max_w * itemsize
+    b = min(n_chains, cap)
+    while b > 1:
+        if n_chains % b == 0:
+            spins = b * plan.n_pad * itemsize
+            fields = b * max_w * 4
+            if scratch + spins + 2 * fields < _VMEM_BUDGET:
+                return b
+        b -= 1
+    return 1
+
+
+def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool, *refs):
     if use_hw_rng:
-        (seed_ref, h_ref, beta_ref, coupling_hbm, spins_in, spins_out,
-         scratch, sems) = refs
+        (seed_ref, h_ref, beta_ref, coupling_hbm, spins_hbm, out_hbm,
+         spins_vmem, scratch, sems, spin_sem) = refs
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         uniforms_ref = None
     else:
-        (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_in, spins_out,
-         scratch, sems) = refs
-    spins_out[:] = spins_in[:]
-    chains = spins_out.shape[0]
+        (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_hbm, out_hbm,
+         spins_vmem, scratch, sems, spin_sem) = refs
+    i = pl.program_id(0)
+    rows = pl.ds(i * block, block)
     blocks = plan.blocks
     n_colors = len(blocks)
-    # two unrolled sweeps per iteration → even number of color steps →
-    # stable slot parity across fori iterations
     seq = [(step, c) for step in range(2) for c in range(n_colors)]
 
     def dma(slot, color):
@@ -71,7 +102,13 @@ def _kernel(plan: GibbsPlan, n_half: int, max_w: int, use_hw_rng: bool,
             sems.at[slot],
         )
 
-    def half(i, carry):
+    # overlap the spin-block load with the first coupling block's DMA
+    load = pltpu.make_async_copy(spins_hbm.at[rows, :], spins_vmem.at[:], spin_sem)
+    load.start()
+    dma(0, 0).start()
+    load.wait()
+
+    def half(i_half, carry):
         for k, (step, c) in enumerate(seq):
             slot = k % 2
             c0, _valid, c1 = blocks[c]
@@ -81,25 +118,27 @@ def _kernel(plan: GibbsPlan, n_half: int, max_w: int, use_hw_rng: bool,
             nk = (k + 1) % len(seq)
             dma((k + 1) % 2, seq[nk][1]).start()
             dma(slot, c).wait()
-            block = scratch[slot, :, :width]
             fields = jnp.dot(
-                spins_out[:].astype(block.dtype), block,
+                spins_vmem[:], scratch[slot, :, :width],
                 preferred_element_type=jnp.float32,
             )
             fields = fields + h_ref[0, c0:c1]
             p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
             if uniforms_ref is None:
-                u = _uniform_hw(chains, width)
+                u = _uniform_hw(block, width)
             else:
-                u = uniforms_ref[2 * i + step, :, c0:c1]
-            spins_out[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0)
+                u = uniforms_ref[2 * i_half + step, :, c0:c1]
+            spins_vmem[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0).astype(
+                spins_vmem.dtype
+            )
         return carry
 
-    # warm-up: first block into slot 0 (the loop body waits on it first)
-    dma(0, 0).start()
     jax.lax.fori_loop(0, n_half, half, 0)
     # drain the dangling wrap-around prefetch (slot 0: len(seq) is even)
     dma(0, 0).wait()
+    store = pltpu.make_async_copy(spins_vmem.at[:], out_hbm.at[rows, :], spin_sem)
+    store.start()
+    store.wait()
 
 
 def gibbs_sweeps_pallas_hbm(
@@ -110,21 +149,20 @@ def gibbs_sweeps_pallas_hbm(
     spins_p: jax.Array,
     n_sweeps: int,
     beta: jax.Array | float = 1.0,
-    chain_block: int = 128,
+    chain_block: int = 512,
     block_dtype=jnp.bfloat16,
     interpret: bool = False,
     uniforms: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Drop-in sampler for graphs whose coupling matrix exceeds VMEM.
 
-    Same contract as ``gibbs_sweeps``/``gibbs_sweeps_pallas``.  ``n_sweeps``
-    is rounded UP to an even count (see module docstring).
+    Same contract as ``gibbs_sweeps``/``gibbs_sweeps_pallas`` (f32 in/out;
+    spins are held and streamed in ``block_dtype`` internally — exact for
+    ±1).  ``n_sweeps`` is rounded UP to an even count (module docstring).
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
-    from image_generation_tpu.ops.gibbs_pallas import _pick_block
-
-    block = _pick_block(n_chains, chain_block)
+    block = hbm_chain_block(plan, n_chains, block_dtype, cap=chain_block)
     grid = n_chains // block
     n_half = -(-n_sweeps // 2)  # two sweeps per loop iteration
     max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
@@ -134,15 +172,18 @@ def gibbs_sweeps_pallas_hbm(
     ).astype(jnp.float32)
     h2d = hp.reshape(1, -1).astype(jnp.float32)
     use_hw_rng = uniforms is None
+    sdt = jnp.dtype(block_dtype)
 
-    kernel = functools.partial(_kernel, plan, n_half, max_w, use_hw_rng)
+    kernel = functools.partial(_kernel, plan, n_half, block, use_hw_rng)
     common = dict(
         grid=(grid,),
-        out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # written by manual DMA
+        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), sdt),
         scratch_shapes=[
-            pltpu.VMEM((2, n_pad, max_w), jnp.dtype(block_dtype)),
+            pltpu.VMEM((block, n_pad), sdt),  # resident spin block
+            pltpu.VMEM((2, n_pad, max_w), sdt),  # coupling double-buffer
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -150,13 +191,14 @@ def gibbs_sweeps_pallas_hbm(
     h_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     coupling_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
-    spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    coupling_cast = coupling_p.astype(jnp.dtype(block_dtype))
+    spins_spec = pl.BlockSpec(memory_space=pl.ANY)  # loaded by manual DMA
+    coupling_cast = coupling_p.astype(sdt)
+    spins_cast = spins_p.astype(sdt)
 
     if uniforms is not None:
         assert uniforms.shape[1:] == (n_chains, n_pad)
         assert uniforms.shape[0] >= 2 * n_half
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             in_specs=[
                 h_spec,
@@ -169,11 +211,11 @@ def gibbs_sweeps_pallas_hbm(
                 spins_spec,
             ],
             **common,
-        )(h2d, beta_arr, coupling_cast, uniforms.astype(jnp.float32),
-          spins_p.astype(jnp.float32))
+        )(h2d, beta_arr, coupling_cast, uniforms.astype(jnp.float32), spins_cast)
+        return out.astype(jnp.float32)
 
     seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -183,4 +225,5 @@ def gibbs_sweeps_pallas_hbm(
             spins_spec,
         ],
         **common,
-    )(seed, h2d, beta_arr, coupling_cast, spins_p.astype(jnp.float32))
+    )(seed, h2d, beta_arr, coupling_cast, spins_cast)
+    return out.astype(jnp.float32)

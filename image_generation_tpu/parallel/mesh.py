@@ -82,15 +82,58 @@ def shard_epoch_batches(batches: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(batches, NamedSharding(mesh, P(None, "data")))
 
 
-def shard_train_state(state, mesh: Mesh):
+def _shard_large_dense(tree, mesh: Mesh, min_elems: int):
+    """Tensor-parallel placement for outsized dense layers: any 2-D leaf
+    with ≥ ``min_elems`` elements is column-sharded over the whole mesh
+    (output-dim sharding — GSPMD turns the following matmul into a local
+    (B, in) @ (in, out/P) block and reshards activations only where a later
+    op requires it).  At the flagship 256 latents nothing qualifies (the
+    DVAE is ~1.3M params, replication is optimal); at the scaled 5640-latent
+    config the decoder's ``increase_latent_dim`` kernel is 127M params
+    (reference analog: the (1024, 256) dvae.pth `_decoder.increase_latent_dim`
+    — SURVEY.md §2c TP row) and replicating it per chip wastes HBM and
+    all-reduce bandwidth.  Adam's mu/nu mirror the param tree, so they pass
+    through the same rule."""
+    total = mesh.devices.size
+    spec = NamedSharding(mesh, P(None, ("data", "chain")))
+
+    def place(x):
+        if (
+            hasattr(x, "ndim") and x.ndim == 2 and x.size >= min_elems
+            and x.shape[1] % total == 0
+        ):
+            return jax.device_put(x, spec)
+        return x
+
+    return jax.tree.map(place, tree)
+
+
+def shard_train_state(state, mesh: Mesh, dense_min_elems: int = 1 << 23):
     """Place a TrainState on the mesh: chains row-sharded over ``chain``
-    (and ``data``, jointly, when chains are plentiful), everything else
-    replicated.  Committed shardings propagate through the jitted step, so
-    no re-wrapping of the step function is needed (GSPMD).
+    (and ``data``, jointly, when chains are plentiful), outsized dense
+    params/opt-moments column-sharded (``_shard_large_dense``), everything
+    else replicated.  Committed shardings propagate through the jitted
+    step, so no re-wrapping of the step function is needed (GSPMD).
 
     In PT mode chains are (T, C, n_pad): the temperature ladder is the
     sharded axis, so the replica-exchange ``jnp.roll`` becomes a cross-device
-    ppermute over ICI."""
+    ppermute over ICI.  When the leading chain axis does not tile the full
+    mesh (e.g. a short PT ladder), fall back to the largest mesh-axis subset
+    that divides it, or replicate."""
     state = replicate(state, mesh)
-    chain_sharding = NamedSharding(mesh, P(("data", "chain")))
-    return state.replace(chains=jax.device_put(state.chains, chain_sharding))
+    rows = int(state.chains.shape[0])
+    for axes in (("data", "chain"), ("data",), ("chain",)):
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        if rows % size == 0:
+            spec = P(axes if len(axes) > 1 else axes[0])
+            state = state.replace(
+                chains=jax.device_put(state.chains, NamedSharding(mesh, spec))
+            )
+            break
+    state = state.replace(
+        dvae_params=_shard_large_dense(state.dvae_params, mesh, dense_min_elems),
+        dvae_opt=_shard_large_dense(state.dvae_opt, mesh, dense_min_elems),
+    )
+    return state

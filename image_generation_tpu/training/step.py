@@ -205,11 +205,13 @@ def make_train_fns(
             return gibbs_sweeps_pallas(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
             )
-        # Large graph: the HBM-streaming kernel re-streams the coupling per
-        # 128-chain grid instance — measured 1.6× faster than XLA at ≤256
-        # chains and slower beyond (XLA's matmul amortizes the stream across
-        # all chain rows), so select by the static chain count.
-        if use_pallas and chains.shape[0] <= 256:
+        # Large graph: the HBM-streaming kernel holds a chain block's spins
+        # resident in VMEM (512-row blocks via manual DMA) and re-streams
+        # the coupling per block — per-sweep HBM traffic is
+        # (chains/512)·n_pad²·2B vs the XLA path's per-color spin re-reads,
+        # a win at every chain count (the r1 256-chain crossover was an
+        # artifact of 128-row blocks).
+        if use_pallas and not pallas_sharded:
             from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
 
             return gibbs_sweeps_pallas_hbm(

@@ -372,13 +372,61 @@ class Trainer:
             n_sweeps or (cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS),
         )
 
+    def sampler_backend(self):
+        """The configured sampler backend (samplers/ — the P5 surface:
+        gibbs/pt/exact behind one protocol) wrapped in the persistent sample
+        cache (the C9 deque semantics the reference intended,
+        src/utils/persistent_qpu_sampler.py).  Built once per Trainer from
+        the same config keys the reference's YAML carries
+        (MAX_DEQUE_SIZE, ITERATIONS_BEFORE_RESAMPLING)."""
+        if getattr(self, "_backend", None) is None:
+            from image_generation_tpu.samplers.base import get_sampler
+            from image_generation_tpu.samplers.persistent import PersistentSampleCache
+
+            cfg = self.config
+            if cfg.SAMPLER == "pt":
+                backend = get_sampler(
+                    "pt", n_betas=cfg.PT_NUM_BETAS, beta_min=cfg.PT_BETA_MIN,
+                    sweeps_per_round=max(cfg.GIBBS_SWEEPS, 1),
+                    persistent=cfg.PERSISTENT_CHAINS,
+                )
+            elif cfg.SAMPLER == "exact":
+                backend = get_sampler("exact")
+            else:
+                backend = get_sampler(
+                    "gibbs", n_sweeps=cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS,
+                    persistent=cfg.PERSISTENT_CHAINS,
+                )
+            self._backend = PersistentSampleCache(
+                backend, cfg.MAX_DEQUE_SIZE, cfg.ITERATIONS_BEFORE_RESAMPLING
+            )
+        return self._backend
+
+    def sample_sampleset(self, num_reads: Optional[int] = None):
+        """One-shot sampling through the backend protocol: returns a
+        SampleSet (spins + energies) — the ``grbm.sample(..., as_tensor=
+        False)`` → dimod.SampleSet equivalent (src/model_wrapper.py:369-376).
+        Training keeps the fused in-step sampler; this is the product
+        surface for generation/evaluation."""
+        from image_generation_tpu.models.grbm import scaled_ising
+
+        cfg = self.config
+        h, q = scaled_ising(
+            self.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
+        )
+        return self.sampler_backend().sample(
+            h, q, self.graph, num_reads or cfg.NUM_READS, self._next_key()
+        )
+
     def generate_output(
         self, do_sharpen: bool = False, num_reads: Optional[int] = None
     ) -> dict:
-        """Sample the GRBM and decode: returns {'grid', 'images', 'latents'}
-        (the reference's generate_output, src/model_wrapper.py:355-399,
-        figure serialization lives in app/figures.py)."""
-        samples = self.sample_spins(num_reads)
+        """Sample the GRBM and decode: returns {'grid', 'images', 'latents',
+        'sample_set'} (the reference's generate_output,
+        src/model_wrapper.py:355-399, figure serialization in app/figures.py).
+        Sampling goes through the backend protocol (sample_sampleset)."""
+        sample_set = self.sample_sampleset(num_reads)
+        samples = jnp.asarray(sample_set.spins)
         dvae = self.fns.dvae
         imgs = dvae.apply(
             {"params": self.state.dvae_params, "batch_stats": self.state.batch_stats},
@@ -393,6 +441,7 @@ class Trainer:
             "grid": make_grid(imgs, nrow=16),
             "images": imgs,
             "latents": np.asarray(samples),
+            "sample_set": sample_set,
         }
 
     def generate_reconstructed_samples(self, do_sharpen: bool = False) -> dict:

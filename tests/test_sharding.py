@@ -165,3 +165,32 @@ def test_trainer_mesh_pt_mode():
     assert t.state.chains.shape[0] == 8  # ladder axis sharded 1/device
     stats = t.train_epoch(0)
     assert np.isfinite(stats["mse"])
+
+
+def test_large_dense_tensor_parallel(setup):
+    """Column-sharded decoder dense layer (TP for the scaled config's 127M
+    increase_latent_dim, VERDICT r1 item 2): with the size threshold forced
+    down, the kernel and its Adam moments shard over the mesh and the step
+    still matches the replicated run."""
+    cfg, graph, fns, images, state = setup
+    mesh = create_mesh(8)
+    kernel = state.dvae_params["decoder"]["increase_latent_dim"]["kernel"]
+    st = shard_train_state(state, mesh, dense_min_elems=kernel.size)
+    spec = P(None, ("data", "chain"))
+    k2 = st.dvae_params["decoder"]["increase_latent_dim"]["kernel"]
+    assert k2.sharding.spec == spec
+    # Adam moments follow the param layout
+    mu = None
+    for leaf in jax.tree.leaves(
+        st.dvae_opt, is_leaf=lambda x: hasattr(x, "sharding")
+    ):
+        if getattr(leaf, "shape", None) == kernel.shape and leaf.sharding.spec == spec:
+            mu = leaf
+    assert mu is not None
+
+    s1, m1 = fns.step(state, images, jnp.asarray(0))
+    s2, m2 = fns.step(st, shard_batch(images, mesh), jnp.asarray(0))
+    np.testing.assert_allclose(float(m1.mse), float(m2.mse), rtol=1e-4)
+    # the updated kernel keeps the TP sharding across the step
+    out_k = s2.dvae_params["decoder"]["increase_latent_dim"]["kernel"]
+    assert out_k.sharding.spec == spec
