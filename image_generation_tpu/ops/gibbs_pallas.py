@@ -234,6 +234,7 @@ def gibbs_sweeps_pallas_sharded(
     mesh,
     beta: jax.Array | float = 1.0,
     chain_axes=("data", "chain"),
+    kernel_fn=None,
     **kwargs,
 ) -> jax.Array:
     """Multi-chip wrapper: chains row-sharded over ``chain_axes``, the model
@@ -242,6 +243,10 @@ def gibbs_sweeps_pallas_sharded(
     Chains are independent, so the sharded sweep needs ZERO inter-chip
     communication — this is the chain-parallel axis of SURVEY.md §2c.  Each
     shard folds its mesh position into the key so streams decorrelate.
+
+    ``kernel_fn``: the per-shard kernel (default ``gibbs_sweeps_pallas``;
+    pass ``gibbs_sweeps_pallas_hbm`` for graphs beyond VMEM — same call
+    contract).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -255,13 +260,15 @@ def gibbs_sweeps_pallas_sharded(
         jnp.asarray(beta, jnp.float32).reshape(-1), (spins_p.shape[0],)
     )
     uniforms = kwargs.pop("uniforms", None)
+    if kernel_fn is None:
+        kernel_fn = gibbs_sweeps_pallas
 
     def local(key, hp, coupling_p, spins_local, beta_local, uniforms_local):
         idx = jnp.zeros((), jnp.int32)
         for a in axes:
             idx = idx * jax.lax.axis_size(a) + jax.lax.axis_index(a)
         k = jax.random.fold_in(key, idx)
-        return gibbs_sweeps_pallas(
+        return kernel_fn(
             k, hp, coupling_p, plan, spins_local, n_sweeps, beta_local,
             uniforms=uniforms_local, **kwargs
         )

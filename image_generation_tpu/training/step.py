@@ -210,10 +210,21 @@ def make_train_fns(
         # the coupling per block — per-sweep HBM traffic is
         # (chains/512)·n_pad²·2B vs the XLA path's per-color spin re-reads,
         # a win at every chain count (the r1 256-chain crossover was an
-        # artifact of 128-row blocks).
-        if use_pallas and not pallas_sharded:
+        # artifact of 128-row blocks).  On a mesh it runs per shard under
+        # the same zero-comm shard_map wrapper as the VMEM kernel.
+        if use_pallas:
             from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
 
+            if pallas_sharded:
+                from image_generation_tpu.ops.gibbs_pallas import (
+                    gibbs_sweeps_pallas_sharded,
+                )
+
+                return gibbs_sweeps_pallas_sharded(
+                    key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
+                    kernel_fn=gibbs_sweeps_pallas_hbm,
+                    block_dtype=mm_dtype or jnp.float32,
+                )
             return gibbs_sweeps_pallas_hbm(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta,
                 block_dtype=mm_dtype or jnp.float32,

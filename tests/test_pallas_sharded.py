@@ -54,3 +54,35 @@ def test_sharded_pallas_kernel_moments():
     m1 = out.mean(axis=0)
     e1, _ = exact_moments(np.asarray(h), graph.edge_i, graph.edge_j, np.asarray(j))
     np.testing.assert_allclose(m1, e1, atol=0.2)
+
+
+def test_sharded_hbm_kernel_matches_single_device():
+    """The HBM-streaming kernel under shard_map (kernel_fn override):
+    bit-identical to the single-device HBM kernel on the same uniforms."""
+    from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
+
+    g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
+    graph = GRBMGraph.from_networkx(g)
+    rng = np.random.RandomState(1)
+    h = jnp.asarray(rng.uniform(-0.3, 0.3, graph.n).astype(np.float32))
+    j = jnp.asarray(rng.uniform(-0.5, 0.5, graph.n_edges).astype(np.float32))
+    plan = build_plan(graph, pad_to=128)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8)
+    key = jax.random.PRNGKey(3)
+    n_chains, n_sweeps = 64, 4
+    s0 = random_spins(key, plan, n_chains)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (n_sweeps, n_chains, plan.n_pad))
+
+    sharded = gibbs_sweeps_pallas_sharded(
+        key, hp, cp, plan, s0, n_sweeps, mesh,
+        kernel_fn=gibbs_sweeps_pallas_hbm,
+        interpret=True, uniforms=u, block_dtype=jnp.float32, chain_block=8,
+    )
+    single = gibbs_sweeps_pallas_hbm(
+        key, hp, cp, plan, s0, n_sweeps, interpret=True, uniforms=u,
+        block_dtype=jnp.float32, chain_block=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(to_original(plan, sharded)), np.asarray(to_original(plan, single))
+    )
