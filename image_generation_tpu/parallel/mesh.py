@@ -119,7 +119,14 @@ def shard_train_state(state, mesh: Mesh, dense_min_elems: int = 1 << 23):
     sharded axis, so the replica-exchange ``jnp.roll`` becomes a cross-device
     ppermute over ICI.  When the leading chain axis does not tile the full
     mesh (e.g. a short PT ladder), fall back to the largest mesh-axis subset
-    that divides it, or replicate."""
+    that divides it, or replicate.
+
+    NOTE: ``device_put`` with an unchanged (replicated) sharding ALIASES the
+    input buffers rather than copying — deliberate, so entering mesh mode
+    never copies the multi-GB scaled state.  Consequence: after passing the
+    sharded state to the donating ``epoch()``, the original unsharded state
+    is dead too; copy (``jax.tree.map(jnp.array, state)``) first if you need
+    to keep it."""
     state = replicate(state, mesh)
     rows = int(state.chains.shape[0])
     for axes in (("data", "chain"), ("data",), ("chain",)):

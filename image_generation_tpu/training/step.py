@@ -250,7 +250,18 @@ def make_train_fns(
 
     def chain_samples(chains):
         """(NUM_READS, n) target-distribution samples in original coords."""
-        target = chains[-1] if pt_mode else chains
+        if pt_mode and mesh is not None and mesh.devices.size > 1:
+            # The β=1 target row is chains[-1], but on a mesh the ladder's
+            # temperature axis is the sharded one (parallel/mesh.py
+            # shard_train_state) and GSPMD answers a sharded-axis slice with
+            # an "involuntary full rematerialization" (replicate-then-slice).
+            # A one-hot contraction over T partitions cleanly instead: each
+            # shard contributes its masked partial sum and one (C, n_pad)
+            # psum delivers the replicated target row.
+            mask = jnp.zeros((chains.shape[0],), chains.dtype).at[-1].set(1)
+            target = jnp.einsum("t,tcn->cn", mask, chains)
+        else:
+            target = chains[-1] if pt_mode else chains
         return to_original(plan, target)
 
     def build_sampler_model(grbm_params: GRBMParams):
@@ -391,9 +402,16 @@ def make_train_fns(
     def step_fn(state: TrainState, images: jax.Array, epoch: jax.Array):
         return step_body(state, images, epoch)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, batches: jax.Array, epoch: jax.Array):
-        """Scan the step over (n_batches, B, S, S, 1) — one XLA dispatch."""
+        """Scan the step over (n_batches, B, S, S, 1) — one XLA dispatch.
+
+        The carried state is donated: at the scaled config it is ~1.6 GB
+        (127M-param dense + two Adam moments in f32), and donation lets XLA
+        update it in place instead of holding input + output copies —
+        halving the state's peak-HBM footprint.  Callers must rebind
+        (``state = fns.epoch(state, ...)``), which every product path does.
+        """
 
         def body(s, imgs):
             return step_body(s, imgs, epoch)

@@ -109,7 +109,9 @@ def test_sharded_gibbs_zero_comm(setup):
 def test_sharded_epoch_scan(setup):
     cfg, graph, fns, images, state = setup
     mesh = create_mesh(8)
-    sharded_state = shard_train_state(state, mesh)
+    # epoch() donates its state, and shard_train_state aliases replicated
+    # leaves — copy so the module-scoped fixture's state survives this test
+    sharded_state = shard_train_state(jax.tree.map(jnp.array, state), mesh)
     batches = jnp.stack([images, images])  # (2, B, H, W, C)
     batches = jax.device_put(batches, NamedSharding(mesh, P(None, "data")))
     s, metrics = fns.epoch(sharded_state, batches, jnp.asarray(0))
