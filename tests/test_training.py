@@ -221,3 +221,24 @@ def test_tune_mode_keeps_weights(tmp_path, trained):
     t2.train(1)
     w_tuned = np.asarray(t2.state.dvae_params["encoder"]["conv_0"]["kernel"])
     assert not np.array_equal(w_loaded, w_tuned)
+
+
+def test_epoch_donates_carried_state():
+    """epoch() donates its state (step.py): the input buffers are dead after
+    the call — pinning the contract that callers must rebind, and that the
+    scaled config's ~1.6 GB state is not double-buffered across the call."""
+    from image_generation_tpu.models.grbm import GRBMGraph
+    from image_generation_tpu.training.step import make_train_fns
+    from image_generation_tpu.utils.subgraph import select_latent_graph
+    from image_generation_tpu.utils.topology import zephyr_graph
+
+    cfg = tiny_config()
+    latent, _ = select_latent_graph(zephyr_graph(2), cfg.N_LATENTS, cfg.RANDOM_SEED)
+    fns = make_train_fns(cfg, GRBMGraph.from_networkx(latent), total_steps=2)
+    images = jnp.zeros((2, cfg.BATCH_SIZE, 32, 32, 1))
+    state = fns.init(jax.random.PRNGKey(0), images[0, :1])
+    new_state, _ = fns.epoch(state, images, jnp.asarray(0))
+    assert jax.tree.leaves(state.dvae_params)[0].is_deleted()
+    # step() does NOT donate (debug/API surface): inputs stay alive
+    s2, _ = fns.step(new_state, images[0], jnp.asarray(0))
+    assert not jax.tree.leaves(new_state.dvae_params)[0].is_deleted()
