@@ -156,9 +156,22 @@ def cmd_train(args):
     print(f"saved: {out}")
 
 
+def _model_path(args) -> Path:
+    """Resolve ``--model``: a path as given, or a bare model NAME looked up
+    under ``workdir/models/`` — so ``--workdir W generate --model m`` finds
+    what ``--workdir W train --name m`` saved (and matches the server's
+    POST body, which sends bare names)."""
+    p = Path(args.model)
+    if not p.exists():
+        candidate = Path(args.workdir) / "models" / args.model
+        if candidate.exists():
+            return candidate
+    return p
+
+
 def cmd_generate(args):
     trainer = _build_trainer(args, for_load=True)
-    trainer.load(args.model)
+    trainer.load(_model_path(args))
     gen = trainer.generate_output(do_sharpen=args.sharpen, num_reads=args.num_reads)
     files = _attach_files(trainer, args)
     rec = trainer.generate_reconstructed_samples(do_sharpen=args.sharpen)
@@ -187,7 +200,7 @@ def cmd_refresh(args):
     from image_generation_tpu.app.files import RunFiles
 
     trainer = _build_trainer(args, for_load=True)
-    trainer.load(args.model)
+    trainer.load(_model_path(args))
     files = RunFiles(args.workdir)  # no clean(): keep prior epoch figures
     example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
     out = generate_model_diagram(
@@ -199,10 +212,11 @@ def cmd_refresh(args):
 
 def cmd_tune(args):
     trainer = _build_trainer(args, for_load=True)
-    trainer.load(args.model)
+    model_dir = _model_path(args)
+    trainer.load(model_dir)
     # deep copy: train_init() clears these very list objects in place
     old_losses = {k: list(v) for k, v in trainer.losses.items()}
-    old_params = json.loads((Path(args.model) / "parameters.json").read_text())
+    old_params = json.loads((model_dir / "parameters.json").read_text())
     trainer.train_init(args.epochs)
     files = _attach_files(trainer, args)
     trainer.train(

@@ -209,7 +209,7 @@ _PAGE = """<!doctype html>
   </div>
 </div>
 <script>
-let lastEpoch = -1, lastProgress = 0;
+let lastEpoch = -1, lastProgress = 0, lastDrawn = -1;
 function $(id) {{ return document.getElementById(id); }}
 function tabs(groupId) {{
   const g = $(groupId);
@@ -287,7 +287,10 @@ async function poll() {{
     setImg('img-total', `/api/render/loss_total/${{epoch}}.svg`);
     refreshModels();
   }}
-  refreshDiagram(lastProgress);   // cache-busted only when lastProgress moves
+  if (lastProgress !== lastDrawn) {{   // redraw only when progress moved —
+    lastDrawn = lastProgress;          // an idle page must not re-request
+    refreshDiagram(lastProgress);      // the topology SVGs every 500 ms
+  }}
 }}
 function cfg() {{
   return {{ name: $('name').value, qpu: $('qpu').value,
@@ -529,6 +532,8 @@ def make_server(
             seg = seg[: -len(suffix)]
         return int(seg)  # ValueError → caught by the render guard → 404
 
+    _topo_cache: dict = {}
+
     def _topology_fig(model: Path, kind: str) -> dict:
         values = None
         vf = workdir / "assets" / "model_diagram" / f"latent_{kind}.json"
@@ -539,7 +544,20 @@ def make_server(
                 values = None
         from image_generation_tpu.app.figures import model_topology_figure
 
-        return model_topology_figure(model, values)
+        # building the figure re-reads grbm.pth and computes a graph layout
+        # (spring_layout for checkpoints without physical coordinates) —
+        # memoize on the checkpoint's mtime and the latent values so polling
+        # clients don't recompute identical figures
+        try:
+            mtime = (model / "grbm.pth").stat().st_mtime_ns
+        except OSError:
+            mtime = None
+        ck = (str(model), kind, mtime, None if values is None else tuple(values))
+        if ck not in _topo_cache:
+            if len(_topo_cache) > 8:  # bound: a handful of (model, kind) pairs
+                _topo_cache.clear()
+            _topo_cache[ck] = model_topology_figure(model, values)
+        return _topo_cache[ck]
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.jobs = jobs  # for tests/embedding

@@ -42,14 +42,16 @@ def create_mesh(
 ) -> Mesh:
     """Create a 2-D (data × chain) device mesh.
 
-    ``shape`` defaults to (n/2, 2) for n ≥ 2 (both axes exercised), else
-    (1, 1).  On a v5e-8 slice this is (4, 2); both axes ride ICI.
+    ``shape`` defaults to (n/2, 2) for even n ≥ 2 (both axes exercised) and
+    (n, 1) otherwise — an odd device count must not crash ``auto_mesh`` (the
+    default Trainer path).  On a v5e-8 slice this is (4, 2); both axes ride
+    ICI.
     """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     if shape is None:
-        shape = (n_devices // 2, 2) if n_devices >= 2 else (1, 1)
+        shape = (n_devices // 2, 2) if n_devices % 2 == 0 and n_devices >= 2 else (n_devices, 1)
     if shape[0] * shape[1] != n_devices:
         raise ValueError(f"mesh shape {shape} != {n_devices} devices")
     arr = np.asarray(devices[:n_devices]).reshape(shape)

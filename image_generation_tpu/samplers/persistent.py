@@ -59,6 +59,16 @@ class PersistentSampleCache:
     def current_deque_size(self) -> int:
         return 0 if self.deque is None else self.deque.shape[0]
 
+    def reset(self) -> None:
+        """Drop all cached samples.  Call when the model's parameters change:
+        a filled deque would otherwise keep serving draws from the OLD model
+        for up to ``iterations_before_resampling`` calls, whereas the
+        reference's generation path always samples the current model
+        (src/model_wrapper.py:369-376)."""
+        self.deque = None
+        self.iterations_since_last_resampling = 0
+        self._last_energies = None
+
     def sample(
         self, h, quadratic, graph: GRBMGraph, num_reads: int, key: jax.Array, **kw
     ) -> SampleSet:

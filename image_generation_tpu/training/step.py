@@ -109,6 +109,7 @@ class TrainStepFns:
         rebuild_sampler,
         dvae_lr=None,
         grbm_lr=None,
+        sampler_impl=None,
     ):
         self.config = config
         self.graph = graph
@@ -121,6 +122,11 @@ class TrainStepFns:
         self.rebuild_sampler = rebuild_sampler  # refresh cache after swapping params
         self.dvae_lr = dvae_lr  # step → LR (observability: the reference
         self.grbm_lr = grbm_lr  # prints/dumps both per epoch)
+        # which negative-phase sampler this bundle compiled in: one of
+        # "pallas_vmem[_sharded]", "pallas_hbm[_sharded]", "xla" —
+        # observability for benchmarks and a test point for the mesh
+        # fallback rule (non-tiling chains must drop to the XLA sampler)
+        self.sampler_impl = sampler_impl
 
 
 def make_train_fns(
@@ -178,10 +184,20 @@ def make_train_fns(
     # multi-chip: shard_map the Pallas kernel over the chain rows when they
     # tile the mesh exactly; otherwise the XLA sampler (which GSPMD
     # partitions on its own from the chains' sharding) keeps correctness.
-    pallas_sharded = (
-        mesh is not None and mesh.devices.size > 1
-        and _eff_chains % mesh.devices.size == 0
-    )
+    sharded_ctx = mesh is not None and mesh.devices.size > 1
+    pallas_sharded = sharded_ctx and _eff_chains % mesh.devices.size == 0
+    # On a mesh the Pallas kernel is legal ONLY through the shard_map wrapper
+    # (GSPMD cannot partition a Mosaic custom call; an unsharded pallas_call
+    # on sharded chains would force replication or fail to compile) — when
+    # the chains don't tile the mesh, drop to the XLA sampler, which GSPMD
+    # partitions from the chains' sharding on its own.
+    pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
+    if pallas_ok:
+        sampler_impl = "pallas_vmem" if pallas_vmem else "pallas_hbm"
+        if pallas_sharded:
+            sampler_impl += "_sharded"
+    else:
+        sampler_impl = "xla"
 
     if cfg.SAMPLER_MATMUL_DTYPE == "auto":
         # bf16 pays only when coupling-matrix traffic dominates the cast cost
@@ -192,7 +208,7 @@ def make_train_fns(
         mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
-        if use_pallas and pallas_vmem:
+        if pallas_ok and pallas_vmem:
             if pallas_sharded:
                 from image_generation_tpu.ops.gibbs_pallas import (
                     gibbs_sweeps_pallas_sharded,
@@ -212,7 +228,7 @@ def make_train_fns(
         # a win at every chain count (the r1 256-chain crossover was an
         # artifact of 128-row blocks).  On a mesh it runs per shard under
         # the same zero-comm shard_map wrapper as the VMEM kernel.
-        if use_pallas:
+        if pallas_ok:
             from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
 
             if pallas_sharded:
@@ -460,4 +476,5 @@ def make_train_fns(
     return TrainStepFns(
         cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body,
         rebuild_sampler, dvae_lr=dvae_lr, grbm_lr=grbm_lr,
+        sampler_impl=sampler_impl,
     )

@@ -74,6 +74,12 @@ class Trainer:
             from image_generation_tpu.parallel.mesh import auto_mesh
 
             mesh = auto_mesh()
+        elif mesh is not None and not {"data", "chain"} <= set(mesh.axis_names):
+            # the sharding rules (parallel/mesh.py) address axes by name
+            raise ValueError(
+                f"Trainer meshes need axes named 'data' and 'chain'; got "
+                f"{mesh.axis_names}. Build one with parallel.mesh.create_mesh."
+            )
         self.mesh = mesh
 
         self.graph: Optional[GRBMGraph] = None
@@ -407,8 +413,19 @@ class Trainer:
         SampleSet (spins + energies) — the ``grbm.sample(..., as_tensor=
         False)`` → dimod.SampleSet equivalent (src/model_wrapper.py:369-376).
         Training keeps the fused in-step sampler; this is the product
-        surface for generation/evaluation."""
+        surface for generation/evaluation.
+
+        The sample cache is invalidated whenever the GRBM parameters have
+        changed since it was filled (training stepped, checkpoint loaded,
+        tune ran) — the reference's generation path always samples the
+        *current* model, so serving deque entries drawn under older
+        parameters would be a behavior regression, not a parity feature."""
         from image_generation_tpu.models.grbm import scaled_ising
+
+        leaf = jax.tree.leaves(self.state.grbm_params)[0]
+        if getattr(self, "_backend_param_ref", None) is not leaf:
+            self.sampler_backend().reset()
+            self._backend_param_ref = leaf
 
         cfg = self.config
         h, q = scaled_ising(

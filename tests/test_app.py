@@ -83,8 +83,11 @@ def test_cli_train_generate_tune(tmp_path):
     params = json.loads((model_dir / "parameters.json").read_text())
     assert params["n_epochs"] == 1 and params["n_latents"] == 32
 
+    # bare model NAME resolves under workdir/models (matches train --name
+    # and the server's POST bodies); tune below keeps the explicit-path form
+    # so both spellings stay covered
     cli_main([
-        "--workdir", str(tmp_path), "generate", "--model", str(model_dir),
+        "--workdir", str(tmp_path), "generate", "--model", "cli_test",
         "--dataset-size", "64", "--batch-size", "16", "--num-reads", "16",
         "--sharpen",
     ])

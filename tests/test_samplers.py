@@ -107,3 +107,32 @@ def test_persistent_cache_fixes_reference_bug(tiny):
     assert all(s.spins.shape == (64, graph.n) for s in served)
     cache.sample(h, j, graph, 64, jax.random.fold_in(key, 99))
     assert CountingBackend.calls == 3  # resampled after the interval
+
+
+def test_generate_cache_invalidated_on_param_change():
+    """Trainer.sample_sampleset drops the sample cache when grbm_params
+    change (training stepped): a filled deque must not keep serving draws
+    from an older model — the reference's generation path always samples the
+    current model (src/model_wrapper.py:369-376)."""
+    import jax.numpy as jnp
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.trainer import Trainer
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=64, BATCH_SIZE=16, DATASET_SIZE=96,
+        N_REPLICAS=2, GIBBS_SWEEPS=2, GIBBS_BURN_IN=2,
+        QPU="Advantage2_prototype",
+        MAX_DEQUE_SIZE=64, ITERATIONS_BEFORE_RESAMPLING=100,
+    )
+    t = Trainer(qpu=cfg.QPU, config=cfg)
+    t.train_init(n_epochs=1)
+    ss1 = t.sample_sampleset()  # fills the deque (64 == max)
+    ss2 = t.sample_sampleset()  # same params → served from the cache
+    assert ss2.info.get("sampler") == "cache"
+    # opt_step 0 is a scheduled GRBM step (epoch<6, step%10==0) → params move
+    t.step(t.images[: cfg.BATCH_SIZE], epoch=0)
+    ss3 = t.sample_sampleset()  # params changed → cache reset, fresh draw
+    assert ss3.info.get("sampler") != "cache"
+    ss4 = t.sample_sampleset()  # unchanged again → cache serves
+    assert ss4.info.get("sampler") == "cache"

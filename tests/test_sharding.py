@@ -60,6 +60,49 @@ def test_mesh_shapes():
     assert mesh.axis_names == ("data", "chain")
 
 
+def test_mesh_odd_device_count():
+    """auto_mesh must not crash on odd device counts (e.g. a 1×3 topology):
+    falls back to an (n, 1) data-only mesh."""
+    mesh = create_mesh(7)
+    assert mesh.devices.shape == (7, 1)
+    mesh = create_mesh(1, shape=(1, 1))
+    assert mesh.devices.shape == (1, 1)
+
+
+def test_trainer_rejects_misnamed_mesh_axes():
+    """The sharding rules address mesh axes by name; a mesh with other axis
+    names must be rejected up front, not fail deep inside device_put."""
+    from jax.sharding import Mesh
+    from image_generation_tpu.training.trainer import Trainer
+
+    bad = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("x", "y"))
+    with pytest.raises(ValueError, match="data.*chain|chain.*data"):
+        Trainer(qpu="Advantage2_prototype", config=tiny_cfg(), mesh=bad)
+
+
+def test_mesh_nontiling_chains_fall_back_to_xla_sampler(setup):
+    """On a mesh the Pallas kernel is only legal through the shard_map
+    wrapper, which needs the effective chain count to tile the mesh; when it
+    doesn't (NUM_READS=36 on 8 devices), make_train_fns must compile the XLA
+    sampler instead — and the step must still run on sharded state."""
+    cfg, graph, fns, images, state = setup
+    mesh = create_mesh(8)
+    cfg36 = cfg.replace(NUM_READS=36, USE_PALLAS="on")
+    fns36 = make_train_fns(cfg36, graph, total_steps=10, mesh=mesh)
+    assert fns36.sampler_impl == "xla"
+    st = shard_train_state(fns36.init(jax.random.PRNGKey(1), images[:1]), mesh)
+    _, m = fns36.step(st, shard_batch(images, mesh), jnp.asarray(0))
+    assert np.isfinite(float(m.mse))
+    # and when the chains DO tile the mesh, the sharded Pallas path is kept
+    fns64 = make_train_fns(
+        cfg.replace(USE_PALLAS="on"), graph, total_steps=10, mesh=mesh
+    )
+    assert fns64.sampler_impl == "pallas_vmem_sharded"
+    # single device: plain pallas
+    fns1 = make_train_fns(cfg.replace(USE_PALLAS="on"), graph, total_steps=10)
+    assert fns1.sampler_impl == "pallas_vmem"
+
+
 def test_sharded_step_runs_and_matches_single_device(setup):
     cfg, graph, fns, images, state = setup
     # single-device result
