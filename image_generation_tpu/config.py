@@ -62,6 +62,14 @@ class TrainingConfig:
     # backends when the problem fits VMEM. On a multi-chip mesh the kernel
     # runs under shard_map (zero-comm chain sharding) whenever the chain
     # count tiles the mesh; otherwise the XLA sampler partitions via GSPMD.
+    GRAPH_SHARDED: str = "auto"  # "auto" | "on" | "off" — partition the
+    # GRAPH dimension over the mesh's "chain" axis: the dense permuted
+    # coupling matrix is row-sharded and the chains' spin columns
+    # col-sharded; per-color fields are psum'd over ICI
+    # (ops/gibbs_graph_sharded.py). For GRBMs whose coupling matrix
+    # outgrows one chip's HBM. auto = on only when the f32 coupling exceeds
+    # 2 GiB (n_pad ≳ 23k spins); plain-Gibbs sampler only (PT already
+    # shards its temperature ladder across the mesh instead).
 
     # --- model/problem shape (reference passes these via ModelWrapper args) ---
     QPU: str = "Advantage2_system1"

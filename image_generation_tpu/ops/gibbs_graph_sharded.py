@@ -1,0 +1,229 @@
+"""Graph-partitioned colored block-Gibbs: the coupling matrix sharded over
+the mesh.
+
+The third scale axis from SURVEY.md §5 ("shard Gibbs chains across chips,
+partition the coupling graph by color classes, exchange parallel-tempering
+replicas via collective permutes"): chains and the PT ladder shard with zero
+communication (ops/gibbs_pallas.py, parallel/mesh.py); this module shards the
+GRAPH dimension, for GRBMs whose dense permuted coupling matrix
+(n_pad × n_pad f32 — 145 MB at the 5640-spin Advantage fabric, 8.6 GB at
+65k spins) outgrows a single chip's HBM.  The reference has no analog at any
+scale: its graph lives on the annealer (src/utils/common.py:123-128) and its
+host model is a COO edge list (losses.py:61).
+
+Layout (inside ``shard_map`` over a (chain_axis × graph_axis) mesh):
+
+  * spins    (C, n_pad)      → rows over ``chain_axis``, cols over ``graph_axis``
+  * coupling (n_pad, n_pad)  → rows over ``graph_axis`` (each device holds the
+                               full column span of its row block: A[rows_d, :])
+  * fields   h (n_pad,)      → replicated (tiny)
+
+A color update with contraction dim split over P_g devices:
+
+    partial_d = S[:, rows_d] @ A[rows_d, c0:c1]      # (C_loc, width) each
+    fields    = psum(partial_d, graph_axis) + h[c0:c1]
+    new       = bernoulli(σ(−2β·fields))             # IDENTICAL on every
+                                                     # graph-axis device
+    S[:, cols_d ∩ [c0,c1)] = new[...]                # local masked write
+
+The uniform draw folds in ONLY the chain-shard index, so all graph-axis
+devices compute the same block update from the same psum'd fields and each
+writes its own slice — the sweep is a valid systematic-scan Gibbs sweep with
+per-sweep ICI traffic of one (C_loc, n_pad) f32 psum (sub-ms on a v5e-8 at
+the scaled config).  FLOPs split evenly across ``graph_axis`` for every
+color because the contraction (not the output) dimension is sharded.
+
+Energies ride a reduce_scatter: partial = S_loc @ A_loc is device d's
+contribution to EVERY column block of S@A; reduce-scattering it over
+``graph_axis`` leaves each device the exact (C_loc, L) slice of S@A it needs
+for the local Σ s·(As) term, and one final psum yields full energies.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from image_generation_tpu.ops.gibbs import GibbsPlan
+
+__all__ = [
+    "gibbs_sweeps_graph_sharded",
+    "ising_energies_graph_sharded",
+    "supports_graph_sharding",
+]
+
+
+def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> bool:
+    """The padded graph dimension must tile the graph mesh axis (the padded
+    length is a multiple of 128, so any power-of-two axis ≤ n_pad/128·…
+    usually divides; callers fall back to the replicated-graph samplers
+    otherwise)."""
+    return (
+        graph_axis in mesh.axis_names
+        and plan.n_pad % mesh.shape[graph_axis] == 0
+    )
+
+
+def _sweep_body(
+    key, hp, a_loc, s_loc, beta, blocks, chain_axis, graph_axis, n_sweeps,
+    matmul_dtype,
+):
+    """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad)."""
+    c_loc, l_loc = s_loc.shape
+    g_idx = jax.lax.axis_index(graph_axis)
+    # this shard's global column ids — the write mask for every color block
+    g_cols = g_idx * l_loc + jnp.arange(l_loc)
+    # uniforms are keyed per (sweep, color, GLOBAL chain id): identical on
+    # every graph-axis device (they must all compute the same block update)
+    # and invariant to the mesh factorization (tested bit-exact across
+    # graph-axis sizes)
+    row_ids = jax.lax.axis_index(chain_axis) * c_loc + jnp.arange(c_loc)
+
+    beta = jnp.asarray(beta, dtype=s_loc.dtype)
+    beta_col = beta if beta.ndim == 0 else beta[:, None]
+    a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
+
+    def sweep(s, k_sweep):
+        for c, (start, valid_stop, stop) in enumerate(blocks):
+            width = stop - start
+            k = jax.random.fold_in(k_sweep, c)
+            s_mm = s.astype(matmul_dtype) if matmul_dtype else s
+            partial_f = jax.lax.dot_general(
+                s_mm,
+                jax.lax.slice_in_dim(a_mm, start, stop, axis=1),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            fields = jax.lax.psum(partial_f, graph_axis)
+            fields = fields + jax.lax.slice_in_dim(hp, start, stop)
+            p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
+            row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)
+            u = jax.vmap(
+                lambda kk: jax.random.uniform(kk, (width,), dtype=fields.dtype)
+            )(row_keys)
+            new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
+            # write the slice of [start, stop) this shard owns: gather the
+            # block update at each local column's offset into the block and
+            # keep it only where the column really falls inside the block
+            in_block = (g_cols >= start) & (g_cols < stop)
+            offs = jnp.clip(g_cols - start, 0, width - 1)
+            s = jnp.where(in_block[None, :], jnp.take(new, offs, axis=1), s)
+        return s, None
+
+    s_loc, _ = jax.lax.scan(sweep, s_loc, jax.random.split(key, n_sweeps))
+    return s_loc
+
+
+def gibbs_sweeps_graph_sharded(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p: jax.Array,
+    plan: GibbsPlan,
+    spins_p: jax.Array,
+    n_sweeps: int,
+    mesh: Mesh,
+    beta: jax.Array | float = 1.0,
+    chain_axis: str = "data",
+    graph_axis: str = "chain",
+    matmul_dtype=None,
+) -> jax.Array:
+    """``gibbs_sweeps`` with the graph dimension partitioned over the mesh.
+
+    Args match ops/gibbs.gibbs_sweeps plus the mesh and its two axis roles:
+    chains (rows) shard over ``chain_axis``, the padded spin/coupling
+    dimension over ``graph_axis``.  ``beta`` may be scalar or per-chain
+    (C,).  Returns (C, n_pad) spins with P(chain_axis, graph_axis) layout.
+
+    RNG note: uniforms are keyed per (sweep, color, global chain id), so
+    results are invariant to the mesh factorization — bit-exact across
+    graph-axis sizes when couplings are order-exact in f32 (tested) — but
+    the stream differs from the replicated-graph ``gibbs_sweeps``; both are
+    valid Gibbs chains of the same model (statistically validated against
+    exact Boltzmann enumeration).
+    """
+    if not supports_graph_sharding(plan, mesh, graph_axis):
+        raise ValueError(
+            f"n_pad={plan.n_pad} does not tile mesh axis "
+            f"{graph_axis!r}={mesh.shape.get(graph_axis)}"
+        )
+    beta_arr = jnp.asarray(beta)
+    beta_spec = P() if beta_arr.ndim == 0 else P(chain_axis)
+    fn = shard_map(
+        partial(
+            _sweep_body,
+            blocks=plan.blocks,
+            chain_axis=chain_axis,
+            graph_axis=graph_axis,
+            n_sweeps=n_sweeps,
+            matmul_dtype=matmul_dtype,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P(),                       # key (replicated; folded per shard)
+            P(),                       # hp (replicated — n_pad f32 is tiny)
+            P(graph_axis, None),       # coupling rows
+            P(chain_axis, graph_axis), # spins
+            beta_spec,
+        ),
+        out_specs=P(chain_axis, graph_axis),
+        check_vma=False,
+    )
+    return fn(key, hp, coupling_p, spins_p, beta_arr)
+
+
+def _energy_body(hp, a_loc, s_loc, chain_axis, graph_axis, matmul_dtype):
+    l_loc = s_loc.shape[1]
+    g_idx = jax.lax.axis_index(graph_axis)
+    hp_loc = jax.lax.dynamic_slice_in_dim(hp, g_idx * l_loc, l_loc)
+    if matmul_dtype is not None:
+        partial_sa = jax.lax.dot_general(
+            s_loc.astype(matmul_dtype),
+            a_loc.astype(matmul_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        partial_sa = s_loc @ a_loc  # (C_loc, n_pad): d's term of S@A
+    # reduce_scatter over the graph axis: keep exactly this shard's columns
+    sa_loc = jax.lax.psum_scatter(
+        partial_sa, graph_axis, scatter_dimension=1, tiled=True
+    )
+    e_part = s_loc @ hp_loc + 0.5 * jnp.sum(s_loc * sa_loc, axis=-1)
+    return jax.lax.psum(e_part, graph_axis)
+
+
+def ising_energies_graph_sharded(
+    hp: jax.Array,
+    coupling_p: jax.Array,
+    spins_p: jax.Array,
+    mesh: Mesh,
+    chain_axis: str = "data",
+    graph_axis: str = "chain",
+    matmul_dtype=None,
+) -> jax.Array:
+    """E(s) = h·s + ½ sᵀAs with the same sharded layout as the sweeps:
+    spins P(chain_axis, graph_axis), coupling P(graph_axis, None).  Returns
+    (C,) energies sharded over ``chain_axis`` (replicated over the graph
+    axis).  One reduce_scatter + one psum of (C_loc,) per call."""
+    if spins_p.shape[-1] % mesh.shape[graph_axis] != 0:
+        raise ValueError(
+            f"n_pad={spins_p.shape[-1]} does not tile mesh axis "
+            f"{graph_axis!r}={mesh.shape[graph_axis]}"
+        )
+    fn = shard_map(
+        partial(
+            _energy_body,
+            chain_axis=chain_axis,
+            graph_axis=graph_axis,
+            matmul_dtype=matmul_dtype,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(graph_axis, None), P(chain_axis, graph_axis)),
+        out_specs=P(chain_axis),
+        check_vma=False,
+    )
+    return fn(hp, coupling_p, spins_p)

@@ -110,7 +110,10 @@ def _shard_large_dense(tree, mesh: Mesh, min_elems: int):
     return jax.tree.map(place, tree)
 
 
-def shard_train_state(state, mesh: Mesh, dense_min_elems: int = 1 << 23):
+def shard_train_state(
+    state, mesh: Mesh, dense_min_elems: int = 1 << 23,
+    graph_sharded: bool = False,
+):
     """Place a TrainState on the mesh: chains row-sharded over ``chain``
     (and ``data``, jointly, when chains are plentiful), outsized dense
     params/opt-moments column-sharded (``_shard_large_dense``), everything
@@ -123,6 +126,12 @@ def shard_train_state(state, mesh: Mesh, dense_min_elems: int = 1 << 23):
     mesh (e.g. a short PT ladder), fall back to the largest mesh-axis subset
     that divides it, or replicate.
 
+    ``graph_sharded`` (TrainStepFns.graph_sharded — the beyond-HBM regime,
+    ops/gibbs_graph_sharded.py): chain rows shard over ``data`` only, spin
+    COLUMNS over ``chain``, and the dense sampler coupling is row-sharded
+    over ``chain`` — the layouts the graph-partitioned sweep consumes
+    without resharding.
+
     NOTE: ``device_put`` with an unchanged (replicated) sharding ALIASES the
     input buffers rather than copying — deliberate, so entering mesh mode
     never copies the multi-GB scaled state.  Consequence: after passing the
@@ -131,16 +140,27 @@ def shard_train_state(state, mesh: Mesh, dense_min_elems: int = 1 << 23):
     to keep it."""
     state = replicate(state, mesh)
     rows = int(state.chains.shape[0])
-    for axes in (("data", "chain"), ("data",), ("chain",)):
-        size = 1
-        for a in axes:
-            size *= mesh.shape[a]
-        if rows % size == 0:
-            spec = P(axes if len(axes) > 1 else axes[0])
-            state = state.replace(
-                chains=jax.device_put(state.chains, NamedSharding(mesh, spec))
-            )
-            break
+    if graph_sharded and state.chains.ndim == 2:
+        rows_ax = "data" if rows % mesh.shape["data"] == 0 else None
+        state = state.replace(
+            chains=jax.device_put(
+                state.chains, NamedSharding(mesh, P(rows_ax, "chain"))
+            ),
+            sampler_coupling=jax.device_put(
+                state.sampler_coupling, NamedSharding(mesh, P("chain", None))
+            ),
+        )
+    else:
+        for axes in (("data", "chain"), ("data",), ("chain",)):
+            size = 1
+            for a in axes:
+                size *= mesh.shape[a]
+            if rows % size == 0:
+                spec = P(axes if len(axes) > 1 else axes[0])
+                state = state.replace(
+                    chains=jax.device_put(state.chains, NamedSharding(mesh, spec))
+                )
+                break
     state = state.replace(
         dvae_params=_shard_large_dense(state.dvae_params, mesh, dense_min_elems),
         dvae_opt=_shard_large_dense(state.dvae_opt, mesh, dense_min_elems),

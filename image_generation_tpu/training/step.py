@@ -110,6 +110,7 @@ class TrainStepFns:
         dvae_lr=None,
         grbm_lr=None,
         sampler_impl=None,
+        graph_sharded=False,
     ):
         self.config = config
         self.graph = graph
@@ -127,6 +128,9 @@ class TrainStepFns:
         # observability for benchmarks and a test point for the mesh
         # fallback rule (non-tiling chains must drop to the XLA sampler)
         self.sampler_impl = sampler_impl
+        # the coupling matrix / spin columns are partitioned over the mesh —
+        # shard_train_state must use the matching chain/coupling layout
+        self.graph_sharded = graph_sharded
 
 
 def make_train_fns(
@@ -192,7 +196,28 @@ def make_train_fns(
     # the chains don't tile the mesh, drop to the XLA sampler, which GSPMD
     # partitions from the chains' sharding on its own.
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
-    if pallas_ok:
+    # graph partitioning (ops/gibbs_graph_sharded.py): coupling rows + spin
+    # columns sharded over the mesh's "chain" axis — the beyond-single-chip
+    # -HBM regime. Plain Gibbs only: in PT mode the temperature ladder is
+    # the sharded axis (parallel/mesh.py) and the two modes would contend
+    # for the same mesh dimension.
+    graph_sharded = (
+        not pt_mode
+        and sharded_ctx
+        and "chain" in mesh.axis_names
+        and plan.n_pad % mesh.shape["chain"] == 0
+        and (
+            cfg.GRAPH_SHARDED == "on"
+            or (
+                cfg.GRAPH_SHARDED == "auto"
+                and plan.n_pad * plan.n_pad * 4 > (2 << 30)
+            )
+        )
+    )
+    if graph_sharded:
+        pallas_ok = False  # the kernel holds full coupling rows per chip
+        sampler_impl = "xla_graph_sharded"
+    elif pallas_ok:
         sampler_impl = "pallas_vmem" if pallas_vmem else "pallas_hbm"
         if pallas_sharded:
             sampler_impl += "_sharded"
@@ -208,6 +233,15 @@ def make_train_fns(
         mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
+        if graph_sharded:
+            from image_generation_tpu.ops.gibbs_graph_sharded import (
+                gibbs_sweeps_graph_sharded,
+            )
+
+            return gibbs_sweeps_graph_sharded(
+                key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
+                matmul_dtype=mm_dtype,
+            )
         if pallas_ok and pallas_vmem:
             if pallas_sharded:
                 from image_generation_tpu.ops.gibbs_pallas import (
@@ -284,7 +318,16 @@ def make_train_fns(
         """(hp, coupling_p) of the prefactor-scaled, range-clipped model in
         padded/color-permuted coordinates."""
         h, j = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
-        return permuted_model(plan, h, j)
+        hp, coupling_p = permuted_model(plan, h, j)
+        if graph_sharded:
+            # constrain so GSPMD CONSTRUCTS the dense matrix row-sharded —
+            # a replicated intermediate would defeat the memory point
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            coupling_p = jax.lax.with_sharding_constraint(
+                coupling_p, NamedSharding(mesh, P("chain", None))
+            )
+        return hp, coupling_p
 
     def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
         """Fresh-model path (init/generation): builds the model then sweeps."""
@@ -476,5 +519,5 @@ def make_train_fns(
     return TrainStepFns(
         cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body,
         rebuild_sampler, dvae_lr=dvae_lr, grbm_lr=grbm_lr,
-        sampler_impl=sampler_impl,
+        sampler_impl=sampler_impl, graph_sharded=graph_sharded,
     )

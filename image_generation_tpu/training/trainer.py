@@ -165,7 +165,9 @@ class Trainer:
             return state
         from image_generation_tpu.parallel.mesh import shard_train_state
 
-        return shard_train_state(state, self.mesh)
+        return shard_train_state(
+            state, self.mesh, graph_sharded=self.fns.graph_sharded
+        )
 
     def step(self, batch, epoch: int) -> float:
         """Train on one batch; returns the MSE loss

@@ -1,0 +1,192 @@
+"""Graph-partitioned Gibbs: the coupling matrix sharded over the mesh.
+
+Validates the third SURVEY.md §5 scale axis (graph partitioning — chains and
+the PT ladder shard elsewhere): statistical correctness against exact
+Boltzmann enumeration through the sharded path, bit-exact invariance to the
+graph-axis size (with order-exact couplings), and the reduce_scatter energy
+path against the replicated implementation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_generation_tpu.models.grbm import GRBMGraph
+from image_generation_tpu.ops.exact import exact_moments
+from image_generation_tpu.ops.gibbs import (
+    build_plan,
+    ising_energies,
+    permuted_model,
+    random_spins,
+    to_original,
+)
+from image_generation_tpu.ops.gibbs_graph_sharded import (
+    gibbs_sweeps_graph_sharded,
+    ising_energies_graph_sharded,
+    supports_graph_sharding,
+)
+from image_generation_tpu.parallel.mesh import create_mesh
+from image_generation_tpu.utils.subgraph import select_latent_graph
+from image_generation_tpu.utils.topology import chimera_graph, zephyr_graph
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
+    graph = GRBMGraph.from_networkx(g)
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.uniform(-0.3, 0.3, graph.n).astype(np.float32))
+    j = jnp.asarray(rng.uniform(-0.5, 0.5, graph.n_edges).astype(np.float32))
+    return graph, h, j
+
+
+@pytest.fixture(scope="module")
+def medium():
+    """64-spin Zephyr subgraph with couplings quantized to 1/256: every
+    partial sum is exactly representable in f32, so accumulation order
+    (and hence the graph-axis psum grouping) cannot change any field."""
+    g, _ = select_latent_graph(zephyr_graph(2), 64, 3)
+    graph = GRBMGraph.from_networkx(g)
+    rng = np.random.RandomState(7)
+    h = jnp.asarray(np.round(rng.uniform(-0.3, 0.3, graph.n) * 256) / 256).astype(
+        jnp.float32
+    )
+    j = jnp.asarray(
+        np.round(rng.uniform(-0.5, 0.5, graph.n_edges) * 256) / 256
+    ).astype(jnp.float32)
+    return graph, h, j
+
+
+def test_graph_sharded_matches_exact_moments(tiny):
+    """Stationary distribution through the graph-sharded path (graph split 2
+    ways, chains split 4 ways) must be the model's Boltzmann distribution."""
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=8)
+    mesh = create_mesh(8)  # (data=4, chain=2): graph axis size 2
+    assert supports_graph_sharding(plan, mesh, "chain")
+    hp, cp = permuted_model(plan, h, j)
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(0))
+    s0 = random_spins(k_init, plan, 2048)
+    s = jax.jit(
+        lambda k, s: gibbs_sweeps_graph_sharded(k, hp, cp, plan, s, 60, mesh)
+    )(k_run, s0)
+    assert s.sharding.spec == jax.sharding.PartitionSpec("data", "chain")
+    sm = np.asarray(to_original(plan, s))
+    m1 = sm.mean(axis=0)
+    m2 = (sm[:, graph.edge_i] * sm[:, graph.edge_j]).mean(axis=0)
+    e1, e2 = exact_moments(np.asarray(h), graph.edge_i, graph.edge_j, np.asarray(j))
+    np.testing.assert_allclose(m1, e1, atol=0.09)
+    np.testing.assert_allclose(m2, e2, atol=0.09)
+
+
+def test_graph_axis_size_invariance(medium):
+    """Same key, same model → BIT-EXACT identical chains whether the graph
+    dimension is split 1, 2, or 4 ways (couplings are order-exact in f32 and
+    the uniform stream is keyed per global chain id)."""
+    graph, h, j = medium
+    plan = build_plan(graph)
+    hp, cp = permuted_model(plan, h, j)
+    key = jax.random.PRNGKey(5)
+    s0 = np.asarray(random_spins(jax.random.PRNGKey(6), plan, 64))
+
+    outs = []
+    for shape in [(8, 1), (4, 2), (2, 4)]:
+        mesh = create_mesh(8, shape=shape)
+        out = gibbs_sweeps_graph_sharded(
+            key, hp, cp, plan, jnp.asarray(s0), 8, mesh
+        )
+        outs.append(np.asarray(out))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def test_graph_sharded_energies_match_replicated(medium):
+    graph, h, j = medium
+    plan = build_plan(graph)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8, shape=(2, 4))
+    s = np.random.RandomState(2).choice([-1.0, 1.0], size=(16, plan.n_pad))
+    s = jnp.asarray(s, jnp.float32)
+    e_ref = np.asarray(ising_energies(hp, cp, s))
+    e_sh = np.asarray(ising_energies_graph_sharded(hp, cp, s, mesh))
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-6)
+
+
+def test_graph_sharded_beta_per_chain(tiny):
+    """Per-chain β (the PT ladder flattening) threads through the sharded
+    path: β=4 chains should be visibly colder than β=0.25 chains."""
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8)
+    n_chains = 512
+    beta = jnp.concatenate(
+        [jnp.full(n_chains // 2, 0.25), jnp.full(n_chains // 2, 4.0)]
+    )
+    s0 = random_spins(jax.random.PRNGKey(1), plan, n_chains)
+    s = gibbs_sweeps_graph_sharded(
+        jax.random.PRNGKey(2), hp, cp, plan, s0, 40, mesh, beta=beta
+    )
+    e = np.asarray(ising_energies(hp, cp, s))
+    assert e[n_chains // 2 :].mean() < e[: n_chains // 2].mean() - 1.0
+
+
+def test_train_step_graph_sharded():
+    """GRAPH_SHARDED="on" routes the fused training step's negative phase
+    through the graph-partitioned sweep: the coupling is row-sharded, chains
+    are (rows × spin-columns) sharded, and the reconstruction loss (which is
+    sampler-independent) matches the single-device step exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.parallel.mesh import shard_batch, shard_train_state
+    from image_generation_tpu.training.step import make_train_fns
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=64, BATCH_SIZE=32, N_REPLICAS=2,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=4,
+        COMPUTE_DTYPE="float32", SAMPLER_MATMUL_DTYPE="float32",
+        GRAPH_SHARDED="on",
+    )
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    graph = GRBMGraph.from_networkx(g)
+    mesh = create_mesh(8)
+    fns = make_train_fns(cfg, graph, total_steps=10, mesh=mesh)
+    assert fns.graph_sharded and fns.sampler_impl == "xla_graph_sharded"
+
+    images = jnp.round(
+        jax.random.uniform(jax.random.PRNGKey(0), (cfg.BATCH_SIZE, 32, 32, 1))
+    )
+    state = fns.init(jax.random.PRNGKey(1), images[:1])
+    st = shard_train_state(state, mesh, graph_sharded=True)
+    assert st.chains.sharding.spec == P("data", "chain")
+    assert st.sampler_coupling.sharding.spec == P("chain", None)
+    s2, m2 = fns.step(st, shard_batch(images, mesh), jnp.asarray(0))
+    assert np.isfinite(float(m2.dvae_loss))
+    # chains keep the graph-sharded layout across the step
+    assert s2.chains.sharding.spec == P("data", "chain")
+
+    # reconstruction loss is independent of the negative-phase sampler →
+    # must equal the single-device step up to the sharded batch mean's
+    # psum reduction order (same tolerance as tests/test_sharding.py)
+    cfg1 = cfg.replace(GRAPH_SHARDED="off")
+    fns1 = make_train_fns(cfg1, graph, total_steps=10)
+    state1 = fns1.init(jax.random.PRNGKey(1), images[:1])
+    _, m1 = fns1.step(state1, images, jnp.asarray(0))
+    np.testing.assert_allclose(float(m2.mse), float(m1.mse), rtol=1e-4)
+
+
+def test_graph_sharding_requires_tiling():
+    g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
+    graph = GRBMGraph.from_networkx(g)
+    plan = build_plan(graph, pad_to=1)  # n_pad == 12, not a multiple of 8
+    assert plan.n_pad % 8 != 0
+    mesh = create_mesh(8, shape=(1, 8))
+    assert not supports_graph_sharding(plan, mesh, "chain")
+    hp, cp = permuted_model(plan, jnp.zeros(graph.n), jnp.zeros(graph.n_edges))
+    with pytest.raises(ValueError, match="tile"):
+        gibbs_sweeps_graph_sharded(
+            jax.random.PRNGKey(0), hp, cp, plan,
+            random_spins(jax.random.PRNGKey(1), plan, 8), 1, mesh,
+        )
