@@ -177,6 +177,24 @@ def test_train_step_graph_sharded():
     np.testing.assert_allclose(float(m2.mse), float(m1.mse), rtol=1e-4)
 
 
+def test_pt_mode_overrides_graph_sharding():
+    """In PT mode the temperature ladder owns the mesh's sharded axis;
+    GRAPH_SHARDED="on" must fall back cleanly (not contend for the axis)."""
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.step import make_train_fns
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, N_REPLICAS=2,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=2, SAMPLER="pt", PT_NUM_BETAS=8,
+        GRAPH_SHARDED="on", USE_PALLAS="off",
+    )
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    graph = GRBMGraph.from_networkx(g)
+    fns = make_train_fns(cfg, graph, total_steps=10, mesh=create_mesh(8))
+    assert not fns.graph_sharded
+    assert fns.sampler_impl == "xla"
+
+
 def test_graph_sharding_requires_tiling():
     g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
     graph = GRBMGraph.from_networkx(g)
