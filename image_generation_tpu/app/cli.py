@@ -94,6 +94,18 @@ def _attach_files(trainer, args):
 def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
     gen = trainer.generate_output()
     rec = trainer.generate_reconstructed_samples()
+    # asset writes FIRST, the poll triggers (epoch figure JSONs + progress)
+    # LAST: the web page redraws the diagram/latent/topology images exactly
+    # once per progress move, so the trigger must not appear before the
+    # assets it gates are on disk (a premature trigger latches stale images
+    # until the next epoch — permanently on the final one)
+    files.write_latent_qpu(gen["latents"][0])
+    from image_generation_tpu.app import ui_config
+    from image_generation_tpu.app.diagram import generate_model_diagram
+
+    if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
+        example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
+        generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
     files.write_epoch(
         epoch,
         gen["grid"],
@@ -101,14 +113,7 @@ def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
         trainer.losses["mse_losses"],
         trainer.losses["dvae_losses"],
     )
-    files.write_latent_qpu(gen["latents"][0])
     files.write_progress(epoch + 1, n_epochs, trainer.n_batches, trainer.n_batches)
-    from image_generation_tpu.app import ui_config
-    from image_generation_tpu.app.diagram import generate_model_diagram
-
-    if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
-        example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
-        generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
     print(
         f"epoch {epoch + 1}/{n_epochs}: mse={stats['mse']:.4f} "
         f"total={stats['dvae_loss']:.4f} ({stats['epoch_time_s']:.1f}s)",
@@ -175,17 +180,18 @@ def cmd_generate(args):
     gen = trainer.generate_output(do_sharpen=args.sharpen, num_reads=args.num_reads)
     files = _attach_files(trainer, args)
     rec = trainer.generate_reconstructed_samples(do_sharpen=args.sharpen)
-    files.write_epoch(0, gen["grid"], rec["grid"],
-                      trainer.losses["mse_losses"], trainer.losses["dvae_losses"])
+    # assets before the epoch-figure trigger (see _epoch_artifacts): the
+    # model diagram for the selected checkpoint is refreshed like the
+    # reference does on model switch (demo_callbacks.py:186-294)
     files.write_latent_qpu(gen["latents"][0])
-    # refresh the model diagram for the selected checkpoint (the reference
-    # regenerates it on model switch, demo_callbacks.py:186-294)
     from image_generation_tpu.app import ui_config
     from image_generation_tpu.app.diagram import generate_model_diagram
 
     if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
         example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
         generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
+    files.write_epoch(0, gen["grid"], rec["grid"],
+                      trainer.losses["mse_losses"], trainer.losses["dvae_losses"])
     print(f"generated {gen['images'].shape[0]} images → "
           f"{files.dir / 'generated_epoch_0.json'}")
 

@@ -209,7 +209,7 @@ _PAGE = """<!doctype html>
   </div>
 </div>
 <script>
-let lastEpoch = -1, lastProgress = 0, lastDrawn = -1;
+let lastEpoch = -1, lastProgress = 0, lastDrawn = -1, lastJobState = '';
 function $(id) {{ return document.getElementById(id); }}
 function tabs(groupId) {{
   const g = $(groupId);
@@ -278,6 +278,10 @@ async function poll() {{
   const pd = await fetchJSON('/api/problem_details_html');
   if (pd && pd.html) $('problem-details').innerHTML = pd.html;
   if (st.job.state === 'running' && st.job.kind === 'refresh') lastProgress++;
+  // any job finishing writes its last assets right before exit — redraw
+  // once more on the running→done transition so the final images land
+  if (lastJobState === 'running' && st.job.state !== 'running') lastProgress++;
+  lastJobState = st.job.state;
   const epoch = st.latest_epoch;
   if (epoch !== null && epoch !== undefined && epoch !== lastEpoch) {{
     lastEpoch = epoch; lastProgress++;

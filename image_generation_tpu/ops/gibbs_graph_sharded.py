@@ -26,9 +26,11 @@ A color update with contraction dim split over P_g devices:
                                                      # graph-axis device
     S[:, cols_d ∩ [c0,c1)] = new[...]                # local masked write
 
-The uniform draw folds in ONLY the chain-shard index, so all graph-axis
-devices compute the same block update from the same psum'd fields and each
-writes its own slice — the sweep is a valid systematic-scan Gibbs sweep with
+The uniform draw is keyed per (sweep, color, GLOBAL chain id) — never the
+graph-shard index — so all graph-axis devices compute the same block update
+from the same psum'd fields and each writes its own slice (a margin-padded
+dynamic_update_slice + static window read: no gathers/scatters in the sweep
+loop) — the sweep is a valid systematic-scan Gibbs sweep with
 per-sweep ICI traffic of one (C_loc, n_pad) f32 psum (sub-ms on a v5e-8 at
 the scaled config).  FLOPs split evenly across ``graph_axis`` for every
 color because the contraction (not the output) dimension is sharded.
@@ -69,10 +71,11 @@ def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> boo
 
 
 def _sweep_body(
-    key, hp, a_loc, s_loc, beta, blocks, chain_axis, graph_axis, n_sweeps,
+    key, hp, a_loc, s_loc, beta, blocks, row_axis, graph_axis, n_sweeps,
     matmul_dtype,
 ):
-    """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad)."""
+    """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad).
+    ``row_axis`` is None when chain rows are replicated (non-tiling count)."""
     c_loc, l_loc = s_loc.shape
     g_idx = jax.lax.axis_index(graph_axis)
     # this shard's global column ids — the write mask for every color block
@@ -81,7 +84,8 @@ def _sweep_body(
     # every graph-axis device (they must all compute the same block update)
     # and invariant to the mesh factorization (tested bit-exact across
     # graph-axis sizes)
-    row_ids = jax.lax.axis_index(chain_axis) * c_loc + jnp.arange(c_loc)
+    row0 = jax.lax.axis_index(row_axis) * c_loc if row_axis else 0
+    row_ids = row0 + jnp.arange(c_loc)
 
     beta = jnp.asarray(beta, dtype=s_loc.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
@@ -106,12 +110,22 @@ def _sweep_body(
                 lambda kk: jax.random.uniform(kk, (width,), dtype=fields.dtype)
             )(row_keys)
             new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
-            # write the slice of [start, stop) this shard owns: gather the
-            # block update at each local column's offset into the block and
-            # keep it only where the column really falls inside the block
+            # write the slice of [start, stop) this shard owns — slice-only
+            # (no gathers in the sweep loop, per the GibbsPlan invariant):
+            # place the block update into a margin-padded buffer at its
+            # offset relative to this shard's column window, then read the
+            # window back and keep it where the column is really in-block.
+            # rel ∈ (−width, l_loc) whenever the block overlaps the window,
+            # so the clip never distorts an overlapping write; disjoint
+            # blocks are fully masked out by ``in_block``.
             in_block = (g_cols >= start) & (g_cols < stop)
-            offs = jnp.clip(g_cols - start, 0, width - 1)
-            s = jnp.where(in_block[None, :], jnp.take(new, offs, axis=1), s)
+            rel = start - g_idx * l_loc
+            buf = jnp.zeros((c_loc, l_loc + 2 * width), s.dtype)
+            buf = jax.lax.dynamic_update_slice(
+                buf, new, (jnp.int32(0), jnp.clip(rel + width, 0, l_loc + width))
+            )
+            cand = jax.lax.slice(buf, (0, width), (c_loc, width + l_loc))
+            s = jnp.where(in_block[None, :], cand, s)
         return s, None
 
     s_loc, _ = jax.lax.scan(sweep, s_loc, jax.random.split(key, n_sweeps))
@@ -150,13 +164,18 @@ def gibbs_sweeps_graph_sharded(
             f"n_pad={plan.n_pad} does not tile mesh axis "
             f"{graph_axis!r}={mesh.shape.get(graph_axis)}"
         )
+    # chain rows that don't tile ``chain_axis`` are replicated across it —
+    # graph partitioning (the point of this sampler) is preserved at the
+    # cost of redundant row compute; the per-global-chain RNG keying makes
+    # the result identical either way.
+    row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
     beta_arr = jnp.asarray(beta)
-    beta_spec = P() if beta_arr.ndim == 0 else P(chain_axis)
+    beta_spec = P() if beta_arr.ndim == 0 else P(row_axis)
     fn = shard_map(
         partial(
             _sweep_body,
             blocks=plan.blocks,
-            chain_axis=chain_axis,
+            row_axis=row_axis,
             graph_axis=graph_axis,
             n_sweeps=n_sweeps,
             matmul_dtype=matmul_dtype,
@@ -166,16 +185,16 @@ def gibbs_sweeps_graph_sharded(
             P(),                       # key (replicated; folded per shard)
             P(),                       # hp (replicated — n_pad f32 is tiny)
             P(graph_axis, None),       # coupling rows
-            P(chain_axis, graph_axis), # spins
+            P(row_axis, graph_axis),   # spins
             beta_spec,
         ),
-        out_specs=P(chain_axis, graph_axis),
+        out_specs=P(row_axis, graph_axis),
         check_vma=False,
     )
     return fn(key, hp, coupling_p, spins_p, beta_arr)
 
 
-def _energy_body(hp, a_loc, s_loc, chain_axis, graph_axis, matmul_dtype):
+def _energy_body(hp, a_loc, s_loc, graph_axis, matmul_dtype):
     l_loc = s_loc.shape[1]
     g_idx = jax.lax.axis_index(graph_axis)
     hp_loc = jax.lax.dynamic_slice_in_dim(hp, g_idx * l_loc, l_loc)
@@ -214,16 +233,16 @@ def ising_energies_graph_sharded(
             f"n_pad={spins_p.shape[-1]} does not tile mesh axis "
             f"{graph_axis!r}={mesh.shape[graph_axis]}"
         )
+    row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
     fn = shard_map(
         partial(
             _energy_body,
-            chain_axis=chain_axis,
             graph_axis=graph_axis,
             matmul_dtype=matmul_dtype,
         ),
         mesh=mesh,
-        in_specs=(P(), P(graph_axis, None), P(chain_axis, graph_axis)),
-        out_specs=P(chain_axis),
+        in_specs=(P(), P(graph_axis, None), P(row_axis, graph_axis)),
+        out_specs=P(row_axis),
         check_vma=False,
     )
     return fn(hp, coupling_p, spins_p)

@@ -138,19 +138,26 @@ def shard_train_state(
     sharded state to the donating ``epoch()``, the original unsharded state
     is dead too; copy (``jax.tree.map(jnp.array, state)``) first if you need
     to keep it."""
-    state = replicate(state, mesh)
     rows = int(state.chains.shape[0])
     if graph_sharded and state.chains.ndim == 2:
+        # place the partitioned leaves FIRST, and replicate only the rest:
+        # running them through ``replicate`` would device_put the coupling
+        # to P() — an all-gather materializing the full n_pad² matrix on
+        # every chip — before re-sharding, defeating the beyond-HBM purpose
+        # of this mode (jax.tree treats None as an empty subtree, so the
+        # placeholders are skipped by the replicate map).
         rows_ax = "data" if rows % mesh.shape["data"] == 0 else None
-        state = state.replace(
-            chains=jax.device_put(
-                state.chains, NamedSharding(mesh, P(rows_ax, "chain"))
-            ),
-            sampler_coupling=jax.device_put(
-                state.sampler_coupling, NamedSharding(mesh, P("chain", None))
-            ),
+        chains = jax.device_put(
+            state.chains, NamedSharding(mesh, P(rows_ax, "chain"))
         )
+        coupling = jax.device_put(
+            state.sampler_coupling, NamedSharding(mesh, P("chain", None))
+        )
+        state = replicate(
+            state.replace(chains=None, sampler_coupling=None), mesh
+        ).replace(chains=chains, sampler_coupling=coupling)
     else:
+        state = replicate(state, mesh)
         for axes in (("data", "chain"), ("data",), ("chain",)):
             size = 1
             for a in axes:

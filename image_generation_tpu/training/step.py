@@ -201,11 +201,26 @@ def make_train_fns(
     # -HBM regime. Plain Gibbs only: in PT mode the temperature ladder is
     # the sharded axis (parallel/mesh.py) and the two modes would contend
     # for the same mesh dimension.
-    graph_sharded = (
-        not pt_mode
-        and sharded_ctx
+    graph_tiles = (
+        sharded_ctx
         and "chain" in mesh.axis_names
         and plan.n_pad % mesh.shape["chain"] == 0
+    )
+    if (
+        cfg.GRAPH_SHARDED == "on" and sharded_ctx and not pt_mode
+        and not graph_tiles
+    ):
+        # an explicitly requested partitioning that can't be honored would
+        # silently replicate a coupling matrix the user said doesn't fit —
+        # fail loudly instead (PT mode's fallback is documented + tested)
+        raise ValueError(
+            f"GRAPH_SHARDED='on' but n_pad={plan.n_pad} does not tile the "
+            f"mesh 'chain' axis ({mesh.shape.get('chain')}); choose a mesh "
+            f"whose 'chain' size divides n_pad or use GRAPH_SHARDED='off'."
+        )
+    graph_sharded = (
+        not pt_mode
+        and graph_tiles
         and (
             cfg.GRAPH_SHARDED == "on"
             or (
@@ -515,6 +530,14 @@ def make_train_fns(
         return state.replace(
             sampler_h=hp, sampler_coupling=coupling_p, chains=chains, rng=rng
         )
+
+    if graph_sharded:
+        # eager init would materialize the full dense coupling (plus the
+        # scatter-add temporaries) on one device before the sharding
+        # constraint applies — at beyond-HBM scale that is exactly the
+        # allocation this mode exists to avoid. Under jit, GSPMD honors the
+        # with_sharding_constraint during construction.
+        init_fn = jax.jit(init_fn)
 
     return TrainStepFns(
         cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body,

@@ -101,6 +101,47 @@ def test_graph_axis_size_invariance(medium):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_nontiling_chain_rows_replicate_and_match(medium):
+    """A chain count that doesn't tile the chain axis (30 rows on a 4-wide
+    'data' axis) must still graph-shard — rows fall back to replicated —
+    and produce bit-identical results (per-global-chain RNG keying)."""
+    graph, h, j = medium
+    plan = build_plan(graph)
+    hp, cp = permuted_model(plan, h, j)
+    key = jax.random.PRNGKey(9)
+    s0 = np.asarray(random_spins(jax.random.PRNGKey(10), plan, 30))
+    out_a = gibbs_sweeps_graph_sharded(
+        key, hp, cp, plan, jnp.asarray(s0), 6, create_mesh(8, shape=(4, 2))
+    )
+    out_b = gibbs_sweeps_graph_sharded(
+        key, hp, cp, plan, jnp.asarray(s0), 6, create_mesh(8, shape=(1, 8))
+    )
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+    # energies too
+    e_a = ising_energies_graph_sharded(hp, cp, out_a, create_mesh(8, shape=(4, 2)))
+    e_ref = ising_energies(hp, cp, jnp.asarray(np.asarray(out_a)))
+    np.testing.assert_allclose(np.asarray(e_a), np.asarray(e_ref), rtol=1e-6)
+
+
+def test_explicit_on_with_nontiling_graph_raises():
+    """GRAPH_SHARDED="on" with an n_pad that can't tile the mesh must fail
+    loudly — silently replicating a coupling the user said doesn't fit
+    would OOM with no hint at real scale."""
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.step import make_train_fns
+
+    cfg = TrainingConfig(
+        N_LATENTS=33, NUM_READS=16, BATCH_SIZE=16, N_REPLICAS=2,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=2, GRAPH_SHARDED="on",
+    )
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    graph = GRBMGraph.from_networkx(g)
+    plan = build_plan(graph, pad_to=1)  # n_pad == 33, odd
+    assert plan.n_pad % 2 != 0
+    with pytest.raises(ValueError, match="GRAPH_SHARDED"):
+        make_train_fns(cfg, graph, total_steps=10, plan=plan, mesh=create_mesh(8))
+
+
 def test_graph_sharded_energies_match_replicated(medium):
     graph, h, j = medium
     plan = build_plan(graph)
@@ -159,6 +200,10 @@ def test_train_step_graph_sharded():
         jax.random.uniform(jax.random.PRNGKey(0), (cfg.BATCH_SIZE, 32, 32, 1))
     )
     state = fns.init(jax.random.PRNGKey(1), images[:1])
+    # init is jitted in this mode: the dense coupling is CONSTRUCTED
+    # row-sharded (never materialized whole on one device); jit may
+    # normalize away the trailing None in the spec
+    assert state.sampler_coupling.sharding.spec in (P("chain"), P("chain", None))
     st = shard_train_state(state, mesh, graph_sharded=True)
     assert st.chains.sharding.spec == P("data", "chain")
     assert st.sampler_coupling.sharding.spec == P("chain", None)
