@@ -68,8 +68,9 @@ class TrainingConfig:
     # col-sharded; per-color fields are psum'd over ICI
     # (ops/gibbs_graph_sharded.py). For GRBMs whose coupling matrix
     # outgrows one chip's HBM. auto = on only when the f32 coupling exceeds
-    # 2 GiB (n_pad ≳ 23k spins); plain-Gibbs sampler only (PT already
-    # shards its temperature ladder across the mesh instead).
+    # 2 GiB (n_pad ≳ 23k spins). Composes with SAMPLER="pt": the
+    # temperature ladder shards over "data" (replica exchange = ppermute)
+    # while the graph shards over "chain".
 
     # --- model/problem shape (reference passes these via ModelWrapper args) ---
     QPU: str = "Advantage2_system1"

@@ -39,6 +39,11 @@ Energies ride a reduce_scatter: partial = S_loc @ A_loc is device d's
 contribution to EVERY column block of S@A; reduce-scattering it over
 ``graph_axis`` leaves each device the exact (C_loc, L) slice of S@A it needs
 for the local Σ s·(As) term, and one final psum yields full energies.
+
+Composes with parallel tempering (training/step.py): the (T, C, n_pad)
+ladder shards T over ``data`` (replica exchange = cross-device ppermute)
+while the flattened (T·C, n_pad) rows pass through this sweep with the
+graph over ``chain`` — a 2-D (ladder × graph) sampler layout.
 """
 
 from __future__ import annotations

@@ -139,7 +139,7 @@ def shard_train_state(
     is dead too; copy (``jax.tree.map(jnp.array, state)``) first if you need
     to keep it."""
     rows = int(state.chains.shape[0])
-    if graph_sharded and state.chains.ndim == 2:
+    if graph_sharded:
         # place the partitioned leaves FIRST, and replicate only the rest:
         # running them through ``replicate`` would device_put the coupling
         # to P() — an all-gather materializing the full n_pad² matrix on
@@ -147,9 +147,13 @@ def shard_train_state(
         # of this mode (jax.tree treats None as an empty subtree, so the
         # placeholders are skipped by the replicate map).
         rows_ax = "data" if rows % mesh.shape["data"] == 0 else None
-        chains = jax.device_put(
-            state.chains, NamedSharding(mesh, P(rows_ax, "chain"))
-        )
+        if state.chains.ndim == 3:
+            # PT: (T, C, n_pad) — ladder over data (exchange = ppermute),
+            # graph columns over chain: the 2-D (ladder × graph) layout
+            spec = P(rows_ax, None, "chain")
+        else:
+            spec = P(rows_ax, "chain")
+        chains = jax.device_put(state.chains, NamedSharding(mesh, spec))
         coupling = jax.device_put(
             state.sampler_coupling, NamedSharding(mesh, P("chain", None))
         )

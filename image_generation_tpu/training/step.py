@@ -198,35 +198,28 @@ def make_train_fns(
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
     # graph partitioning (ops/gibbs_graph_sharded.py): coupling rows + spin
     # columns sharded over the mesh's "chain" axis — the beyond-single-chip
-    # -HBM regime. Plain Gibbs only: in PT mode the temperature ladder is
-    # the sharded axis (parallel/mesh.py) and the two modes would contend
-    # for the same mesh dimension.
+    # -HBM regime. Composes with PT: the temperature ladder shards over
+    # "data" (replica exchange = ppermute) while the graph dimension shards
+    # over "chain" — a 2-D (ladder × graph) sampler layout.
     graph_tiles = (
         sharded_ctx
         and "chain" in mesh.axis_names
         and plan.n_pad % mesh.shape["chain"] == 0
     )
-    if (
-        cfg.GRAPH_SHARDED == "on" and sharded_ctx and not pt_mode
-        and not graph_tiles
-    ):
+    if cfg.GRAPH_SHARDED == "on" and sharded_ctx and not graph_tiles:
         # an explicitly requested partitioning that can't be honored would
         # silently replicate a coupling matrix the user said doesn't fit —
-        # fail loudly instead (PT mode's fallback is documented + tested)
+        # fail loudly instead
         raise ValueError(
             f"GRAPH_SHARDED='on' but n_pad={plan.n_pad} does not tile the "
             f"mesh 'chain' axis ({mesh.shape.get('chain')}); choose a mesh "
             f"whose 'chain' size divides n_pad or use GRAPH_SHARDED='off'."
         )
-    graph_sharded = (
-        not pt_mode
-        and graph_tiles
-        and (
-            cfg.GRAPH_SHARDED == "on"
-            or (
-                cfg.GRAPH_SHARDED == "auto"
-                and plan.n_pad * plan.n_pad * 4 > (2 << 30)
-            )
+    graph_sharded = graph_tiles and (
+        cfg.GRAPH_SHARDED == "on"
+        or (
+            cfg.GRAPH_SHARDED == "auto"
+            and plan.n_pad * plan.n_pad * 4 > (2 << 30)
         )
     )
     if graph_sharded:

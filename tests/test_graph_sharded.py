@@ -222,22 +222,42 @@ def test_train_step_graph_sharded():
     np.testing.assert_allclose(float(m2.mse), float(m1.mse), rtol=1e-4)
 
 
-def test_pt_mode_overrides_graph_sharding():
-    """In PT mode the temperature ladder owns the mesh's sharded axis;
-    GRAPH_SHARDED="on" must fall back cleanly (not contend for the axis)."""
+def test_pt_composes_with_graph_sharding():
+    """PT × graph partitioning — the 2-D (ladder × graph) sampler layout:
+    temperature ladder over 'data' (replica exchange = ppermute), spin
+    columns + coupling rows over 'chain'. The step runs end to end and its
+    reconstruction loss (sampler-independent) matches single-device."""
+    from jax.sharding import PartitionSpec as P
+
     from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.parallel.mesh import shard_batch, shard_train_state
     from image_generation_tpu.training.step import make_train_fns
 
     cfg = TrainingConfig(
         N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, N_REPLICAS=2,
         GIBBS_SWEEPS=2, GIBBS_BURN_IN=2, SAMPLER="pt", PT_NUM_BETAS=8,
-        GRAPH_SHARDED="on", USE_PALLAS="off",
+        GRAPH_SHARDED="on",
+        COMPUTE_DTYPE="float32", SAMPLER_MATMUL_DTYPE="float32",
     )
     g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
     graph = GRBMGraph.from_networkx(g)
-    fns = make_train_fns(cfg, graph, total_steps=10, mesh=create_mesh(8))
-    assert not fns.graph_sharded
-    assert fns.sampler_impl == "xla"
+    mesh = create_mesh(8)
+    fns = make_train_fns(cfg, graph, total_steps=10, mesh=mesh)
+    assert fns.graph_sharded and fns.sampler_impl == "xla_graph_sharded"
+
+    images = jnp.round(
+        jax.random.uniform(jax.random.PRNGKey(0), (cfg.BATCH_SIZE, 32, 32, 1))
+    )
+    state = fns.init(jax.random.PRNGKey(1), images[:1])
+    assert state.chains.shape == (8, 16, state.chains.shape[-1])
+    st = shard_train_state(state, mesh, graph_sharded=True)
+    assert st.chains.sharding.spec == P("data", None, "chain")
+    s2, m2 = fns.step(st, shard_batch(images, mesh), jnp.asarray(0))
+    assert np.isfinite(float(m2.dvae_loss)) and np.isfinite(float(m2.nll))
+
+    fns1 = make_train_fns(cfg.replace(GRAPH_SHARDED="off"), graph, total_steps=10)
+    _, m1 = fns1.step(fns1.init(jax.random.PRNGKey(1), images[:1]), images, jnp.asarray(0))
+    np.testing.assert_allclose(float(m2.mse), float(m1.mse), rtol=1e-4)
 
 
 def test_graph_sharding_requires_tiling():
