@@ -1,0 +1,143 @@
+"""Beyond-single-chip-HBM demonstration of the graph-partitioned sampler.
+
+Builds the ideal Pegasus P32 fabric — 23,808 spins, ~2.3 GB dense f32
+coupling in padded coordinates, past the GRAPH_SHARDED="auto" threshold
+(config.py: > 2 GiB) and past what a 16 GB v5e chip could replicate next to
+activations at scale — and runs the graph-partitioned Gibbs sweep
+(ops/gibbs_graph_sharded.py) on an 8-device mesh:
+
+  * the coupling matrix is CONSTRUCTED row-sharded (jit + sharding
+    constraint — never materialized whole on one device),
+  * per-shard bytes are verified to be 1/8 of the total,
+  * sweeps and reduce_scatter energies execute and stay finite.
+
+On this image the mesh is 8 virtual CPU devices (shared host RAM), so the
+per-chip memory is *accounted*, not physically isolated — the sharded
+layouts, collectives, and per-shard buffer shapes are exactly what a v5e-8
+would execute.  Writes runs/graph_sharded_demo.json.
+
+Run:  python scripts/demo_graph_sharded.py   (~minutes: single host core)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    from image_generation_tpu.models.grbm import GRBMGraph
+    from image_generation_tpu.ops.gibbs import build_plan, random_spins
+    from image_generation_tpu.ops.gibbs_graph_sharded import (
+        gibbs_sweeps_graph_sharded,
+        ising_energies_graph_sharded,
+        supports_graph_sharding,
+    )
+    from image_generation_tpu.parallel.mesh import create_mesh
+    from image_generation_tpu.utils.subgraph import select_latent_graph
+    from image_generation_tpu.utils.topology import pegasus_graph
+
+    t0 = time.perf_counter()
+    full = pegasus_graph(32)
+    latent, _ = select_latent_graph(full, full.number_of_nodes(), 7)
+    graph = GRBMGraph.from_networkx(latent)
+    print(f"P32 fabric: {graph.n} spins, {graph.n_edges} couplers "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    t0 = time.perf_counter()
+    plan = build_plan(graph)
+    print(f"plan: n_pad={plan.n_pad}, {plan.n_colors} color blocks "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    coupling_bytes = plan.n_pad * plan.n_pad * 4
+    auto_triggers = coupling_bytes > (2 << 30)
+    # graph-heavy mesh: the coupling shards over the "chain" axis, so a
+    # beyond-HBM deployment sizes that axis to fit the matrix — all 8
+    # devices here
+    mesh = create_mesh(8, shape=(1, 8))
+    assert supports_graph_sharding(plan, mesh, "chain")
+
+    # construct the dense coupling ROW-SHARDED under jit (the init path's
+    # strategy, training/step.py build_sampler_model): random couplers, no
+    # full-size host array anywhere
+    ei = jnp.asarray(plan.perm_edge_i)
+    ej = jnp.asarray(plan.perm_edge_j)
+
+    @jax.jit
+    def build(q):
+        a = jnp.zeros((plan.n_pad, plan.n_pad), jnp.float32)
+        a = a.at[ei, ej].add(q).at[ej, ei].add(q)
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(mesh, P("chain", None))
+        )
+
+    t0 = time.perf_counter()
+    q = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (graph.n_edges,))
+    coupling = build(q)
+    jax.block_until_ready(coupling)
+    build_s = time.perf_counter() - t0
+    shard_bytes = coupling.addressable_shards[0].data.nbytes
+    print(f"coupling built sharded in {build_s:.1f}s: "
+          f"{coupling_bytes / 1e9:.2f} GB total, "
+          f"{shard_bytes / 1e9:.2f} GB/shard "
+          f"(spec {coupling.sharding.spec})", flush=True)
+    assert shard_bytes * mesh.shape["chain"] == coupling_bytes
+
+    hp = jnp.zeros(plan.n_pad)
+    n_chains = 64
+    s0 = random_spins(jax.random.PRNGKey(1), plan, n_chains)
+    t0 = time.perf_counter()
+    s = gibbs_sweeps_graph_sharded(
+        jax.random.PRNGKey(2), hp, coupling, plan, s0, 2, mesh,
+        matmul_dtype=jnp.bfloat16,
+    )
+    jax.block_until_ready(s)
+    sweep_s = time.perf_counter() - t0
+    e = ising_energies_graph_sharded(hp, coupling, s, mesh)
+    assert bool(jnp.all(jnp.isfinite(e)))
+    assert s.sharding.spec[-1] == "chain"  # spin columns stay sharded
+    print(f"2 sweeps × {n_chains} chains: {sweep_s:.1f}s "
+          f"(incl. compile); energies finite, spins sharded "
+          f"{s.sharding.spec}", flush=True)
+
+    out = {
+        "fabric": "pegasus_32_ideal",
+        "n_spins": graph.n,
+        "n_couplers": graph.n_edges,
+        "n_pad": plan.n_pad,
+        "color_blocks": plan.n_colors,
+        "coupling_gb_f32": round(coupling_bytes / 1e9, 3),
+        "per_shard_gb": round(shard_bytes / 1e9, 3),
+        "devices": int(mesh.devices.size),
+        "auto_threshold_triggers": bool(auto_triggers),
+        "build_seconds": round(build_s, 1),
+        "two_sweeps_seconds_incl_compile": round(sweep_s, 1),
+        "note": (
+            "8 virtual CPU devices (1 host core, shared RAM): layouts/"
+            "collectives identical to a v5e-8; wall time not indicative"
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "runs" / "graph_sharded_demo.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
