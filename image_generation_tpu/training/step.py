@@ -327,6 +327,14 @@ def make_train_fns(
         padded/color-permuted coordinates."""
         h, j = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
         hp, coupling_p = permuted_model(plan, h, j)
+        if mm_dtype is not None:
+            # store the cached coupling in the matmul dtype: every consumer
+            # (XLA sweep, both Pallas kernels, graph-sharded sweep, PT swap
+            # energies) casts to mm_dtype anyway, so this halves the state's
+            # biggest buffer AND removes a full-size cast copy per
+            # negative-phase refresh (bf16 sampling is statistically
+            # validated in tests/test_gibbs.py)
+            coupling_p = coupling_p.astype(mm_dtype)
         if graph_sharded:
             # constrain so GSPMD CONSTRUCTS the dense matrix row-sharded —
             # a replicated intermediate would defeat the memory point
