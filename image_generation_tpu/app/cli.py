@@ -131,7 +131,9 @@ def cmd_train(args):
     print(
         f"training: qpu={trainer.qpu} latents={trainer.n_latents} "
         f"edges={trainer.graph.n_edges} data={trainer.data_source.origin} "
-        f"batches/epoch={trainer.n_batches}",
+        f"batches/epoch={trainer.n_batches} "
+        f"sampler={trainer.fns.sampler_impl}"
+        + (f" mesh={tuple(trainer.mesh.devices.shape)}" if trainer.mesh else ""),
         flush=True,
     )
     every = max(args.artifact_every, 1)
