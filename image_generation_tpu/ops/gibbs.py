@@ -261,12 +261,17 @@ def pt_round(
     sweeps_per_round: int,
     sweeps_fn=None,
     matmul_dtype=None,
+    energies_fn=None,
 ) -> jax.Array:
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
     Args:
       spins_p: (T, C, n_pad) — T temperatures × C chains each.
       betas: (T,) ascending inverse temperatures (betas[-1] is the target).
+      energies_fn: optional (hp, coupling_p, spins) → (T, C) energies —
+        graph-sharded training passes ops.gibbs_graph_sharded.
+        ising_energies_graph_sharded so the swap energies ride the
+        reduce_scatter layout instead of gathering the sharded coupling.
 
     Replica exchange: adjacent pairs (t, t+1) attempt a configuration swap
     accepted with probability min(1, exp((β_t − β_{t+1})(E_t − E_{t+1}))),
@@ -278,13 +283,17 @@ def pt_round(
         def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0):
             return gibbs_sweeps(k, h_, c_, p_, s_, n_, beta, matmul_dtype=matmul_dtype)
 
+    if energies_fn is None:
+        def energies_fn(h_, c_, s_):
+            return ising_energies(h_, c_, s_, matmul_dtype)
+
     flat = spins_p.reshape(t_dim * c_dim, n_pad)
     beta_per_chain = jnp.repeat(betas, c_dim)
     flat = sweeps_fn(k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain)
     spins_p = flat.reshape(t_dim, c_dim, n_pad)
 
     def swap_pass(s, k, parity):
-        e = ising_energies(hp, coupling_p, s, matmul_dtype)  # (T, C)
+        e = energies_fn(hp, coupling_p, s)  # (T, C)
         delta = (betas[:-1] - betas[1:])[:, None] * (e[:-1] - e[1:])  # (T-1, C)
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]

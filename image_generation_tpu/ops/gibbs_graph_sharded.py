@@ -200,21 +200,21 @@ def gibbs_sweeps_graph_sharded(
 
 
 def _energy_body(hp, a_loc, s_loc, graph_axis, matmul_dtype):
-    l_loc = s_loc.shape[1]
+    l_loc = s_loc.shape[-1]
     g_idx = jax.lax.axis_index(graph_axis)
     hp_loc = jax.lax.dynamic_slice_in_dim(hp, g_idx * l_loc, l_loc)
     if matmul_dtype is not None:
         partial_sa = jax.lax.dot_general(
             s_loc.astype(matmul_dtype),
             a_loc.astype(matmul_dtype),
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((s_loc.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     else:
-        partial_sa = s_loc @ a_loc  # (C_loc, n_pad): d's term of S@A
+        partial_sa = s_loc @ a_loc  # (..., n_pad): d's term of S@A
     # reduce_scatter over the graph axis: keep exactly this shard's columns
     sa_loc = jax.lax.psum_scatter(
-        partial_sa, graph_axis, scatter_dimension=1, tiled=True
+        partial_sa, graph_axis, scatter_dimension=s_loc.ndim - 1, tiled=True
     )
     e_part = s_loc @ hp_loc + 0.5 * jnp.sum(s_loc * sa_loc, axis=-1)
     return jax.lax.psum(e_part, graph_axis)
@@ -230,15 +230,19 @@ def ising_energies_graph_sharded(
     matmul_dtype=None,
 ) -> jax.Array:
     """E(s) = h·s + ½ sᵀAs with the same sharded layout as the sweeps:
-    spins P(chain_axis, graph_axis), coupling P(graph_axis, None).  Returns
-    (C,) energies sharded over ``chain_axis`` (replicated over the graph
-    axis).  One reduce_scatter + one psum of (C_loc,) per call."""
+    spins (..., n_pad) with the leading dim over ``chain_axis`` (when it
+    tiles) and the last over ``graph_axis``, coupling P(graph_axis, None).
+    Accepts any number of leading dims — (C, n_pad) chains or the PT
+    (T, C, n_pad) ladder — and returns their energies replicated over the
+    graph axis.  One reduce_scatter + one psum per call; the coupling is
+    never gathered."""
     if spins_p.shape[-1] % mesh.shape[graph_axis] != 0:
         raise ValueError(
             f"n_pad={spins_p.shape[-1]} does not tile mesh axis "
             f"{graph_axis!r}={mesh.shape[graph_axis]}"
         )
     row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
+    lead = (None,) * (spins_p.ndim - 2)
     fn = shard_map(
         partial(
             _energy_body,
@@ -246,8 +250,8 @@ def ising_energies_graph_sharded(
             matmul_dtype=matmul_dtype,
         ),
         mesh=mesh,
-        in_specs=(P(), P(graph_axis, None), P(row_axis, graph_axis)),
-        out_specs=P(row_axis),
+        in_specs=(P(), P(graph_axis, None), P(row_axis, *lead, graph_axis)),
+        out_specs=P(row_axis, *lead),
         check_vma=False,
     )
     return fn(hp, coupling_p, spins_p)

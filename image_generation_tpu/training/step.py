@@ -204,6 +204,7 @@ def make_train_fns(
     graph_tiles = (
         sharded_ctx
         and "chain" in mesh.axis_names
+        and mesh.shape["chain"] > 1  # a size-1 axis would fully replicate
         and plan.n_pad % mesh.shape["chain"] == 0
     )
     if cfg.GRAPH_SHARDED == "on" and sharded_ctx and not graph_tiles:
@@ -211,9 +212,11 @@ def make_train_fns(
         # silently replicate a coupling matrix the user said doesn't fit —
         # fail loudly instead
         raise ValueError(
-            f"GRAPH_SHARDED='on' but n_pad={plan.n_pad} does not tile the "
-            f"mesh 'chain' axis ({mesh.shape.get('chain')}); choose a mesh "
-            f"whose 'chain' size divides n_pad or use GRAPH_SHARDED='off'."
+            f"GRAPH_SHARDED='on' but the mesh 'chain' axis "
+            f"({mesh.shape.get('chain')}) cannot partition n_pad="
+            f"{plan.n_pad}: it must have size > 1 and divide n_pad. "
+            f"Reshape the mesh (create_mesh(n, shape=(rows, graph))) or "
+            f"use GRAPH_SHARDED='off'."
         )
     graph_sharded = graph_tiles and (
         cfg.GRAPH_SHARDED == "on"
@@ -300,9 +303,24 @@ def make_train_fns(
         sweeps at every temperature + even/odd replica exchange).
         """
         if pt_mode:
+            energies_fn = None
+            if graph_sharded:
+                # swap energies through the reduce_scatter layout — the
+                # plain path under GSPMD is free to gather the row-sharded
+                # coupling, violating the no-whole-matrix invariant
+                from image_generation_tpu.ops.gibbs_graph_sharded import (
+                    ising_energies_graph_sharded,
+                )
+
+                def energies_fn(h_, c_, s_):
+                    return ising_energies_graph_sharded(
+                        h_, c_, s_, mesh, matmul_dtype=mm_dtype
+                    )
+
             return pt_round(
                 key, hp, coupling_p, plan, chains, betas, n_sweeps,
                 sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
+                energies_fn=energies_fn,
             )
         return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps)
 

@@ -1,7 +1,7 @@
 """Beyond-single-chip-HBM demonstration of the graph-partitioned sampler.
 
-Builds the ideal Pegasus P32 fabric — 23,808 spins, ~2.3 GB dense f32
-coupling in padded coordinates, past the GRAPH_SHARDED="auto" threshold
+Builds the ideal Pegasus P32 fabric — 23,560 spins as constructed, ~2.3 GB
+dense f32 coupling in padded coordinates, past the GRAPH_SHARDED="auto" threshold
 (config.py: > 2 GiB) and past what a 16 GB v5e chip could replicate next to
 activations at scale — and runs the graph-partitioned Gibbs sweep
 (ops/gibbs_graph_sharded.py) on an 8-device mesh:
@@ -27,9 +27,20 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
-    os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+import re as _re
+
+_flags = os.environ.get("XLA_FLAGS", "")
+_m = _re.search(r"xla_force_host_platform_device_count=(\d+)", _flags)
+if _m and int(_m.group(1)) < 8:
+    # a pre-existing lower count would make create_mesh(8) fail obscurely
+    _flags = _re.sub(
+        r"xla_force_host_platform_device_count=\d+",
+        "xla_force_host_platform_device_count=8",
+        _flags,
+    )
+elif not _m:
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

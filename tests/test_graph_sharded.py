@@ -154,6 +154,21 @@ def test_graph_sharded_energies_match_replicated(medium):
     np.testing.assert_allclose(e_sh, e_ref, rtol=1e-6)
 
 
+def test_graph_sharded_energies_3d_ladder(medium):
+    """The PT (T, C, n_pad) ladder goes through the reduce_scatter energy
+    path (swap energies must not gather the sharded coupling)."""
+    graph, h, j = medium
+    plan = build_plan(graph)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8, shape=(2, 4))
+    s = np.random.RandomState(4).choice([-1.0, 1.0], size=(4, 6, plan.n_pad))
+    s = jnp.asarray(s, jnp.float32)
+    e_sh = np.asarray(ising_energies_graph_sharded(hp, cp, s, mesh))
+    e_ref = np.asarray(ising_energies(hp, cp, s))
+    assert e_sh.shape == (4, 6)
+    np.testing.assert_allclose(e_sh, e_ref, rtol=1e-6)
+
+
 def test_graph_sharded_beta_per_chain(tiny):
     """Per-chain β (the PT ladder flattening) threads through the sharded
     path: β=4 chains should be visibly colder than β=0.25 chains."""
