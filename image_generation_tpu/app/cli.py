@@ -14,7 +14,9 @@ Usage:
   python -m image_generation_tpu.app.cli models      # list saved models
 
 Multi-chip: ``--mesh auto`` (default) shards training over all local devices
-(``--mesh off`` forces one device; ``--mesh N`` uses N).  ``refresh``
+(``--mesh off`` forces one device; ``--mesh N`` uses N; ``--mesh RxG``,
+e.g. ``1x8``, fixes the data × chain layout — graph-sharded beyond-HBM runs
+size the chain axis to fit the coupling).  ``refresh``
 regenerates the model-diagram assets for a checkpoint without training (the
 reference's on-model-switch behavior, demo_callbacks.py:207-294).
 """
@@ -54,7 +56,14 @@ def _build_trainer(args, for_load: bool = False):
     elif mesh not in (None, "auto"):
         from image_generation_tpu.parallel.mesh import create_mesh
 
-        mesh = create_mesh(int(mesh))
+        if "x" in str(mesh):
+            # ROWSxGRAPH, e.g. "1x8": explicit (data × chain) layout —
+            # beyond-HBM graph-sharded runs size the chain axis to fit the
+            # coupling (GRAPH_SHARDED, ops/gibbs_graph_sharded.py)
+            rows, cols = (int(p) for p in str(mesh).lower().split("x"))
+            mesh = create_mesh(rows * cols, shape=(rows, cols))
+        else:
+            mesh = create_mesh(int(mesh))
     return Trainer(qpu=cfg.QPU, config=cfg, mesh=mesh)
 
 
@@ -275,7 +284,9 @@ def main(argv=None):
     common.add_argument(
         "--mesh", default="auto",
         help="multi-chip mesh: 'auto' (all local devices, the default), "
-        "'off' (single device), or a device count (e.g. 8)",
+        "'off' (single device), a device count (e.g. 8), or an explicit "
+        "data-by-chain layout like '1x8' (graph-sharded runs size the "
+        "chain axis to fit the coupling)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,
