@@ -169,6 +169,53 @@ def test_graph_sharded_energies_3d_ladder(medium):
     np.testing.assert_allclose(e_sh, e_ref, rtol=1e-6)
 
 
+def test_pt_graph_sharded_matches_exact_moments(tiny):
+    """Full PT rounds (sweeps + swap energies) through the graph-partitioned
+    layout on a frustrated model: the target-temperature marginals must
+    match exact Boltzmann enumeration — the same bar as the replicated PT
+    sampler (tests/test_gibbs.py)."""
+    from image_generation_tpu.ops.exact import exact_moments as _exact
+    from image_generation_tpu.ops.gibbs import pt_round
+
+    graph, h, _ = tiny
+    rng = np.random.RandomState(7)
+    j = jnp.asarray(rng.choice([-1.2, 1.2], graph.n_edges).astype(np.float32))
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8)
+    betas = jnp.geomspace(0.1, 1.0, 8)
+
+    def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0):
+        return gibbs_sweeps_graph_sharded(k, h_, c_, p_, s_, n_, mesh, beta)
+
+    def energies_fn(h_, c_, s_):
+        return ising_energies_graph_sharded(h_, c_, s_, mesh)
+
+    n_chains = 512
+    ladder = random_spins(jax.random.PRNGKey(0), plan, 8 * n_chains).reshape(
+        8, n_chains, plan.n_pad
+    )
+
+    @jax.jit
+    def run(key, s):
+        def round_fn(s_, k):
+            return pt_round(
+                k, hp, cp, plan, s_, betas, 4,
+                sweeps_fn=sweeps_fn, energies_fn=energies_fn,
+            ), None
+
+        s_, _ = jax.lax.scan(round_fn, s, jax.random.split(key, 40))
+        return s_
+
+    ladder = run(jax.random.PRNGKey(1), ladder)
+    sm = np.asarray(to_original(plan, ladder[-1]))
+    m1 = sm.mean(axis=0)
+    m2 = (sm[:, graph.edge_i] * sm[:, graph.edge_j]).mean(axis=0)
+    e1, e2 = _exact(np.asarray(h), graph.edge_i, graph.edge_j, np.asarray(j))
+    np.testing.assert_allclose(m1, e1, atol=0.15)
+    np.testing.assert_allclose(m2, e2, atol=0.15)
+
+
 def test_graph_sharded_beta_per_chain(tiny):
     """Per-chain β (the PT ladder flattening) threads through the sharded
     path: β=4 chains should be visibly colder than β=0.25 chains."""
