@@ -56,14 +56,20 @@ def _build_trainer(args, for_load: bool = False):
     elif mesh not in (None, "auto"):
         from image_generation_tpu.parallel.mesh import create_mesh
 
-        if "x" in str(mesh):
-            # ROWSxGRAPH, e.g. "1x8": explicit (data × chain) layout —
-            # beyond-HBM graph-sharded runs size the chain axis to fit the
-            # coupling (GRAPH_SHARDED, ops/gibbs_graph_sharded.py)
-            rows, cols = (int(p) for p in str(mesh).lower().split("x"))
-            mesh = create_mesh(rows * cols, shape=(rows, cols))
-        else:
-            mesh = create_mesh(int(mesh))
+        try:
+            if "x" in str(mesh):
+                # ROWSxGRAPH, e.g. "1x8": explicit (data × chain) layout —
+                # beyond-HBM graph-sharded runs size the chain axis to fit
+                # the coupling (GRAPH_SHARDED, ops/gibbs_graph_sharded.py)
+                rows, cols = (int(p) for p in str(mesh).lower().split("x"))
+                mesh = create_mesh(rows * cols, shape=(rows, cols))
+            else:
+                mesh = create_mesh(int(mesh))
+        except ValueError as e:
+            raise SystemExit(
+                f"--mesh must be 'auto', 'off', a device count, or RxG "
+                f"(e.g. 1x8); got {mesh!r} ({e})"
+            )
     return Trainer(qpu=cfg.QPU, config=cfg, mesh=mesh)
 
 
@@ -100,14 +106,12 @@ def _attach_files(trainer, args):
     return files
 
 
-def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
-    gen = trainer.generate_output()
-    rec = trainer.generate_reconstructed_samples()
-    # asset writes FIRST, the poll triggers (epoch figure JSONs + progress)
-    # LAST: the web page redraws the diagram/latent/topology images exactly
-    # once per progress move, so the trigger must not appear before the
-    # assets it gates are on disk (a premature trigger latches stale images
-    # until the next epoch — permanently on the final one)
+def _write_diagram_assets(trainer, files, gen):
+    """Latent vector + model-diagram assets.  Callers must write these
+    BEFORE the poll triggers (epoch figure JSONs / progress): the web page
+    redraws the diagram/latent/topology images exactly once per progress
+    move, so a premature trigger latches stale images until the next epoch
+    — permanently on the final one."""
     files.write_latent_qpu(gen["latents"][0])
     from image_generation_tpu.app import ui_config
     from image_generation_tpu.app.diagram import generate_model_diagram
@@ -115,6 +119,12 @@ def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
     if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
         example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
         generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
+
+
+def _epoch_artifacts(trainer, files, epoch, stats, n_epochs):
+    gen = trainer.generate_output()
+    rec = trainer.generate_reconstructed_samples()
+    _write_diagram_assets(trainer, files, gen)  # assets first, triggers last
     files.write_epoch(
         epoch,
         gen["grid"],
@@ -191,16 +201,9 @@ def cmd_generate(args):
     gen = trainer.generate_output(do_sharpen=args.sharpen, num_reads=args.num_reads)
     files = _attach_files(trainer, args)
     rec = trainer.generate_reconstructed_samples(do_sharpen=args.sharpen)
-    # assets before the epoch-figure trigger (see _epoch_artifacts): the
-    # model diagram for the selected checkpoint is refreshed like the
-    # reference does on model switch (demo_callbacks.py:186-294)
-    files.write_latent_qpu(gen["latents"][0])
-    from image_generation_tpu.app import ui_config
-    from image_generation_tpu.app.diagram import generate_model_diagram
-
-    if ui_config.GENERATE_NEW_MODEL_DIAGRAM:
-        example = trainer.images[ui_config.EXAMPLE_IMAGE_INDEX]
-        generate_model_diagram(trainer, example, files.root / "assets" / "model_diagram")
+    # the diagram refresh is the reference's on-model-switch behavior
+    # (demo_callbacks.py:186-294); assets before the epoch-figure trigger
+    _write_diagram_assets(trainer, files, gen)
     files.write_epoch(0, gen["grid"], rec["grid"],
                       trainer.losses["mse_losses"], trainer.losses["dvae_losses"])
     print(f"generated {gen['images'].shape[0]} images → "

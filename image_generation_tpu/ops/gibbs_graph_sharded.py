@@ -65,10 +65,10 @@ __all__ = [
 
 
 def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> bool:
-    """The padded graph dimension must tile the graph mesh axis (the padded
-    length is a multiple of 128, so any power-of-two axis ≤ n_pad/128·…
-    usually divides; callers fall back to the replicated-graph samplers
-    otherwise)."""
+    """The padded graph dimension must tile the graph mesh axis.  n_pad is a
+    multiple of 128 (build_plan), so any power-of-two axis size up to 128
+    divides it; callers fall back to the replicated-graph samplers when this
+    is False."""
     return (
         graph_axis in mesh.axis_names
         and plan.n_pad % mesh.shape[graph_axis] == 0
