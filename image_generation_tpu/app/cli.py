@@ -50,27 +50,34 @@ def _build_trainer(args, for_load: bool = False):
     )
     if not for_load:
         cfg = cfg.replace(QPU=args.qpu)
-    mesh = getattr(args, "mesh", "auto")
-    if mesh == "off":
-        mesh = None
-    elif mesh not in (None, "auto"):
-        from image_generation_tpu.parallel.mesh import create_mesh
+    return Trainer(
+        qpu=cfg.QPU, config=cfg, mesh=parse_mesh(getattr(args, "mesh", "auto"))
+    )
 
-        try:
-            if "x" in str(mesh):
-                # ROWSxGRAPH, e.g. "1x8": explicit (data × chain) layout —
-                # beyond-HBM graph-sharded runs size the chain axis to fit
-                # the coupling (GRAPH_SHARDED, ops/gibbs_graph_sharded.py)
-                rows, cols = (int(p) for p in str(mesh).lower().split("x"))
-                mesh = create_mesh(rows * cols, shape=(rows, cols))
-            else:
-                mesh = create_mesh(int(mesh))
-        except ValueError as e:
-            raise SystemExit(
-                f"--mesh must be 'auto', 'off', a device count, or RxG "
-                f"(e.g. 1x8); got {mesh!r} ({e})"
-            )
-    return Trainer(qpu=cfg.QPU, config=cfg, mesh=mesh)
+
+def parse_mesh(spec):
+    """``--mesh`` value → Mesh | None | "auto" (Trainer's auto_mesh sentinel).
+
+    'off' → None (single device); a count ('8') → default-shaped mesh;
+    ROWSxGRAPH ('1x8') → explicit (data × chain) layout — beyond-HBM
+    graph-sharded runs size the chain axis to fit the coupling
+    (GRAPH_SHARDED, ops/gibbs_graph_sharded.py)."""
+    if spec == "off":
+        return None
+    if spec in (None, "auto"):
+        return spec
+    from image_generation_tpu.parallel.mesh import create_mesh
+
+    try:
+        if "x" in str(spec):
+            rows, cols = (int(p) for p in str(spec).lower().split("x"))
+            return create_mesh(rows * cols, shape=(rows, cols))
+        return create_mesh(int(spec))
+    except ValueError as e:
+        raise SystemExit(
+            f"--mesh must be 'auto', 'off', a device count, or RxG "
+            f"(e.g. 1x8); got {spec!r} ({e})"
+        )
 
 
 def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None):

@@ -67,6 +67,23 @@ def test_runfiles_protocol(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_mesh_parsing():
+    """--mesh accepts auto/off/count/RxG and rejects garbage cleanly."""
+    from image_generation_tpu.app.cli import parse_mesh
+
+    assert parse_mesh("auto") == "auto"
+    assert parse_mesh(None) is None
+    assert parse_mesh("off") is None
+    m = parse_mesh("8")
+    assert m.devices.shape == (4, 2)
+    m = parse_mesh("2x4")
+    assert m.devices.shape == (2, 4) and m.axis_names == ("data", "chain")
+    with pytest.raises(SystemExit, match="--mesh"):
+        parse_mesh("garbage")
+    with pytest.raises(SystemExit, match="--mesh"):
+        parse_mesh("2xfoo")
+
+
 def test_cli_train_generate_tune(tmp_path):
     """Full CLI pass: train → artifacts → generate → tune."""
     common = [
