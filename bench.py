@@ -83,12 +83,14 @@ def main():
     else:
         cfg = TrainingConfig(BATCH_SIZE=args.batch_size or 128)
         full = None  # resolved via the graph cache below
-        # 128-step scans per dispatch: the relay costs ~30-50 ms per dispatch
-        # and the real Trainer epoch is a 468-step scan — short scans
-        # under-amortize dispatch latency and read 20-30% slow on a slow
-        # relay session (observed: 32-step scans swing 66-87k img/s between
-        # sessions; the per-step compute is identical)
-        steps = args.steps or 128
+        # 468-step scans per dispatch = EXACTLY the Trainer's reference
+        # epoch (60000/128 drop_last): the timed path is one full epoch over
+        # 60k distinct images incl. the per-epoch permutation gather. The
+        # relay costs ~30-50 ms per dispatch, so short scans under-amortize
+        # dispatch latency and read 20-30% slow on a slow relay session
+        # (observed: 32-step scans swing 66-87k img/s between sessions;
+        # the per-step compute is identical).
+        steps = args.steps or 468
 
     if full is None:
         from image_generation_tpu.utils.graph_cache import cached_latent_graph
