@@ -43,6 +43,8 @@ def _build_trainer(args, for_load: bool = False):
         overrides["BATCH_SIZE"] = args.batch_size
     if getattr(args, "sweeps", None) is not None:
         overrides["GIBBS_SWEEPS"] = args.sweeps
+    if getattr(args, "graph_sharded", None) is not None:
+        overrides["GRAPH_SHARDED"] = args.graph_sharded
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -297,6 +299,11 @@ def main(argv=None):
         "'off' (single device), a device count (e.g. 8), or an explicit "
         "data-by-chain layout like '1x8' (graph-sharded runs size the "
         "chain axis to fit the coupling)",
+    )
+    common.add_argument(
+        "--graph-sharded", default=None, choices=["auto", "on", "off"],
+        help="partition the GRBM coupling matrix over the mesh 'chain' axis "
+        "(beyond-single-chip-HBM graphs; pairs with --mesh RxG layouts)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,

@@ -44,6 +44,15 @@ Composes with parallel tempering (training/step.py): the (T, C, n_pad)
 ladder shards T over ``data`` (replica exchange = cross-device ppermute)
 while the flattened (T·C, n_pad) rows pass through this sweep with the
 graph over ``chain`` — a 2-D (ladder × graph) sampler layout.
+
+Why XLA matmuls here rather than the Pallas kernels (ops/gibbs_pallas*.py):
+the kernels' advantage is keeping SPINS resident in VMEM across the whole
+multi-sweep loop, which the per-color psum boundary would break anyway (a
+collective cannot run inside a Mosaic kernel, so spins would round-trip
+through HBM at every color regardless); the per-color (C_loc, L)·(L, width)
+matmul itself is MXU-bound and XLA already emits it fused with the cast /
+sigmoid / compare chain.  Chain-sharded (non-graph-sharded) meshes keep the
+Pallas kernels via their own shard_map wrapper.
 """
 
 from __future__ import annotations

@@ -322,6 +322,26 @@ def test_pt_composes_with_graph_sharding():
     np.testing.assert_allclose(float(m2.mse), float(m1.mse), rtol=1e-4)
 
 
+def test_trainer_graph_sharded_epoch(tmp_path):
+    """The user-facing path: Trainer with GRAPH_SHARDED="on" on a mesh runs
+    the scanned epoch with the graph-partitioned sampler and checkpoints."""
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.trainer import Trainer
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, DATASET_SIZE=32,
+        N_REPLICAS=2, GIBBS_SWEEPS=2, GIBBS_BURN_IN=2,
+        QPU="Advantage2_prototype", GRAPH_SHARDED="on",
+    )
+    t = Trainer(qpu=cfg.QPU, config=cfg, mesh=create_mesh(8, shape=(2, 4)))
+    t.train_init(1)
+    assert t.fns.graph_sharded and t.fns.sampler_impl == "xla_graph_sharded"
+    stats = t.train_epoch(0)
+    assert np.isfinite(stats["mse"])
+    t.save(tmp_path / "gs_model", n_epochs=1)
+    assert (tmp_path / "gs_model" / "grbm.pth").exists()
+
+
 def test_graph_sharding_requires_tiling():
     g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
     graph = GRBMGraph.from_networkx(g)
