@@ -71,10 +71,16 @@ def parse_mesh(spec):
     from image_generation_tpu.parallel.mesh import create_mesh
 
     try:
-        if "x" in str(spec):
-            rows, cols = (int(p) for p in str(spec).lower().split("x"))
+        s = str(spec).lower()
+        if "x" in s:
+            rows, cols = (int(p) for p in s.split("x"))
+            if rows < 1 or cols < 1:
+                raise ValueError("axis sizes must be >= 1")
             return create_mesh(rows * cols, shape=(rows, cols))
-        return create_mesh(int(spec))
+        n = int(s)
+        if n < 1:
+            raise ValueError("device count must be >= 1")
+        return create_mesh(n)
     except ValueError as e:
         raise SystemExit(
             f"--mesh must be 'auto', 'off', a device count, or RxG "

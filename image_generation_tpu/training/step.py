@@ -207,16 +207,22 @@ def make_train_fns(
         and mesh.shape["chain"] > 1  # a size-1 axis would fully replicate
         and plan.n_pad % mesh.shape["chain"] == 0
     )
-    if cfg.GRAPH_SHARDED == "on" and sharded_ctx and not graph_tiles:
+    if cfg.GRAPH_SHARDED == "on" and not graph_tiles:
         # an explicitly requested partitioning that can't be honored would
         # silently replicate a coupling matrix the user said doesn't fit —
-        # fail loudly instead
+        # fail loudly instead (including with no mesh at all: one device
+        # cannot partition anything)
+        where = (
+            f"the mesh 'chain' axis ({mesh.shape.get('chain')}) cannot "
+            f"partition n_pad={plan.n_pad}: it must have size > 1 and "
+            f"divide n_pad"
+            if sharded_ctx
+            else "there is no multi-device mesh to partition over"
+        )
         raise ValueError(
-            f"GRAPH_SHARDED='on' but the mesh 'chain' axis "
-            f"({mesh.shape.get('chain')}) cannot partition n_pad="
-            f"{plan.n_pad}: it must have size > 1 and divide n_pad. "
-            f"Reshape the mesh (create_mesh(n, shape=(rows, graph))) or "
-            f"use GRAPH_SHARDED='off'."
+            f"GRAPH_SHARDED='on' but {where}. Provide a mesh whose 'chain' "
+            f"axis fits (e.g. --mesh 1x8 / create_mesh(n, shape=(rows, "
+            f"graph))) or use GRAPH_SHARDED='off'."
         )
     graph_sharded = graph_tiles and (
         cfg.GRAPH_SHARDED == "on"
@@ -242,6 +248,21 @@ def make_train_fns(
         mm_dtype = None
     else:
         mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
+
+    # PT swap energies in graph-sharded mode go through the reduce_scatter
+    # layout — the plain ising_energies under GSPMD is free to all-gather
+    # the row-sharded coupling, violating the no-whole-matrix invariant.
+    # Shared by BOTH pt_round call sites (run_sweeps and sample_fn).
+    pt_energies_fn = None
+    if graph_sharded:
+        from image_generation_tpu.ops.gibbs_graph_sharded import (
+            ising_energies_graph_sharded,
+        )
+
+        def pt_energies_fn(h_, c_, s_):
+            return ising_energies_graph_sharded(
+                h_, c_, s_, mesh, matmul_dtype=mm_dtype
+            )
 
     def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
         if graph_sharded:
@@ -303,24 +324,10 @@ def make_train_fns(
         sweeps at every temperature + even/odd replica exchange).
         """
         if pt_mode:
-            energies_fn = None
-            if graph_sharded:
-                # swap energies through the reduce_scatter layout — the
-                # plain path under GSPMD is free to gather the row-sharded
-                # coupling, violating the no-whole-matrix invariant
-                from image_generation_tpu.ops.gibbs_graph_sharded import (
-                    ising_energies_graph_sharded,
-                )
-
-                def energies_fn(h_, c_, s_):
-                    return ising_energies_graph_sharded(
-                        h_, c_, s_, mesh, matmul_dtype=mm_dtype
-                    )
-
             return pt_round(
                 key, hp, coupling_p, plan, chains, betas, n_sweeps,
                 sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
-                energies_fn=energies_fn,
+                energies_fn=pt_energies_fn,
             )
         return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps)
 
@@ -530,6 +537,7 @@ def make_train_fns(
                 return pt_round(
                     k, hp, coupling_p, plan, s, betas, cfg.GIBBS_SWEEPS,
                     sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
+                    energies_fn=pt_energies_fn,
                 ), None
 
             ladder, _ = jax.lax.scan(round_fn, ladder, jax.random.split(k2, n_rounds))

@@ -433,6 +433,27 @@ class Trainer:
         h, q = scaled_ising(
             self.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
         )
+        if self.fns is not None and self.fns.graph_sharded:
+            # the sampler backends build a dense REPLICATED coupling (fine
+            # at normal scale); in graph-sharded mode that would
+            # materialize the whole beyond-HBM matrix on one device, so
+            # generation routes through the partitioned in-step sampler
+            # and computes energies edge-wise (O(E), no dense matrix)
+            import numpy as np
+
+            from image_generation_tpu.models.grbm import GRBMParams, energy
+            from image_generation_tpu.utils.sampleset import SampleSet
+
+            n = num_reads or cfg.NUM_READS
+            spins = self.fns.sample(
+                self._next_key(), self.state.grbm_params, n,
+                cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS,
+            )
+            e = energy(GRBMParams(linear=h, quadratic=q), self.graph, spins)
+            return SampleSet(
+                spins=np.asarray(spins), energies=np.asarray(e),
+                info={"sampler": "graph_sharded"},
+            )
         return self.sampler_backend().sample(
             h, q, self.graph, num_reads or cfg.NUM_READS, self._next_key()
         )

@@ -66,7 +66,6 @@ def test_runfiles_protocol(tmp_path):
     assert rf.read_progress() is None
 
 
-@pytest.mark.slow
 def test_cli_mesh_parsing():
     """--mesh accepts auto/off/count/RxG and rejects garbage cleanly."""
     from image_generation_tpu.app.cli import parse_mesh
@@ -78,12 +77,14 @@ def test_cli_mesh_parsing():
     assert m.devices.shape == (4, 2)
     m = parse_mesh("2x4")
     assert m.devices.shape == (2, 4) and m.axis_names == ("data", "chain")
-    with pytest.raises(SystemExit, match="--mesh"):
-        parse_mesh("garbage")
-    with pytest.raises(SystemExit, match="--mesh"):
-        parse_mesh("2xfoo")
+    m = parse_mesh("2X4")  # case-insensitive separator
+    assert m.devices.shape == (2, 4)
+    for bad in ("garbage", "2xfoo", "0x8", "0", "-1", "1x0"):
+        with pytest.raises(SystemExit, match="--mesh"):
+            parse_mesh(bad)
 
 
+@pytest.mark.slow
 def test_cli_train_generate_tune(tmp_path):
     """Full CLI pass: train → artifacts → generate → tune."""
     common = [

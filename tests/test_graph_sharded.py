@@ -340,6 +340,13 @@ def test_trainer_graph_sharded_epoch(tmp_path):
     assert np.isfinite(stats["mse"])
     t.save(tmp_path / "gs_model", n_epochs=1)
     assert (tmp_path / "gs_model" / "grbm.pth").exists()
+    # generation routes through the partitioned sampler (the backends'
+    # dense replicated coupling is never built) with edge-wise energies
+    ss = t.sample_sampleset(num_reads=8)
+    assert ss.info["sampler"] == "graph_sharded"
+    assert ss.spins.shape == (8, t.graph.n) and np.isfinite(ss.energies).all()
+    gen = t.generate_output(num_reads=8)
+    assert gen["images"].shape[0] == 8
 
 
 def test_graph_sharding_requires_tiling():
