@@ -27,9 +27,66 @@ import jax.numpy as jnp
 
 BASELINE_IMAGES_PER_SEC = 50_000.0
 
+# bf16 MXU peak per chip, by jax device_kind (dense matmul FLOP/s)
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def analytic_flops_per_step(cfg, plan) -> dict:
+    """Analytic FLOPs of ONE fused training step (VERDICT r2 item 5).
+
+    Counts multiply-accumulates as 2 FLOPs, matmul/conv terms only (the
+    elementwise/BN/pool traffic is HBM-, not FLOP-bound):
+
+      * encoder: four 3×3 SAME convs on the 32→4 pyramid + the 4→1
+        projection (models/encoder.py; reference src/encoder.py:18-49);
+      * decoder ×N_REPLICAS: Linear(n→4n) + four 3×3 convs on the 2→16
+        pyramid + the final 32² conv (models/decoder.py);
+      * backward = 2× forward (input grads + weight grads);
+      * MMD: one pairwise Gram over the (B·R + NUM_READS) spin rows,
+        forward + backward (ops/mmd.py);
+      * negative phase: GIBBS_SWEEPS colored-sweep matmuls of
+        (chains, n_pad)×(n_pad, n_pad) — PT multiplies chains by the ladder
+        and, with carried ladder energies (ops/gibbs.py pt_round), adds NO
+        extra energy matmuls.
+
+    The GRBM's scheduled moment-matching update (≤1/10 of steps, O(E))
+    and the optimizer (HBM-bound) are excluded.
+    """
+    B, R, n, S = cfg.BATCH_SIZE, cfg.N_REPLICAS, cfg.N_LATENTS, cfg.IMAGE_SIZE
+    enc = 0
+    for i, (ci, co) in enumerate([(1, 32), (32, 64), (64, 128), (128, n)]):
+        enc += 2 * (S >> i) ** 2 * 9 * ci * co
+    enc += 2 * n * 4  # the (4 → 1) projection per latent channel
+    dec = 2 * n * (4 * n)  # increase_latent_dim
+    for i, (ci, co) in enumerate([(n, 128), (128, 64), (64, 32), (32, 1)]):
+        dec += 2 * (2 << i) ** 2 * 9 * ci * co
+    dec += 2 * S * S * 9  # final 1→1 conv
+    model_fwd = enc + R * dec
+    model_total = 3 * model_fwd * B  # fwd + dgrad + wgrad
+
+    m, c = B * R, cfg.NUM_READS
+    mmd = 3 * 2 * n * (m * m + 2 * m * c + c * c)
+
+    chains = cfg.NUM_READS * (cfg.PT_NUM_BETAS if cfg.SAMPLER == "pt" else 1)
+    sweeps = 2 * chains * plan.n_pad * plan.n_pad * cfg.GIBBS_SWEEPS
+
+    total = model_total + mmd + sweeps
+    return {
+        "total": total,
+        "dvae": model_total,
+        "mmd": mmd,
+        "sweeps": sweeps,
+    }
 
 
 def main():
@@ -103,7 +160,10 @@ def main():
         f"batch={cfg.BATCH_SIZE} replicas={cfg.N_REPLICAS} "
         f"reads={cfg.NUM_READS} sweeps={cfg.GIBBS_SWEEPS}")
 
-    fns = make_train_fns(cfg, graph, total_steps=steps * 2)
+    from image_generation_tpu.ops.gibbs import build_plan
+
+    fns_plan = build_plan(graph)
+    fns = make_train_fns(cfg, graph, total_steps=steps * 2, plan=fns_plan)
     key = jax.random.PRNGKey(0)
     from image_generation_tpu.utils.data import permuted_epoch
 
@@ -152,8 +212,22 @@ def main():
     _ = float(metrics.mse[-1])
     dt = time.perf_counter() - t0
     imgs_per_sec = reps * steps * cfg.BATCH_SIZE / dt
+    ms_per_step = dt / (reps * steps) * 1e3
     log(f"{reps}×{steps} fused steps in {dt:.3f}s → {imgs_per_sec:,.0f} images/sec "
-        f"({dt / (reps * steps) * 1e3:.2f} ms/step; mse[-1]={float(metrics.mse[-1]):.4f})")
+        f"({ms_per_step:.2f} ms/step; mse[-1]={float(metrics.mse[-1]):.4f})")
+
+    # ---- roofline context: analytic FLOPs/step → achieved TFLOP/s, MFU ----
+    fl = analytic_flops_per_step(cfg, fns_plan)
+    achieved = fl["total"] / (ms_per_step * 1e-3)
+    peak = _PEAK_BF16.get(getattr(dev, "device_kind", ""), None)
+    mfu = achieved / peak if peak else None
+    log(
+        f"flops/step (analytic): {fl['total'] / 1e9:.2f} GF "
+        f"(dvae {fl['dvae'] / 1e9:.2f} + mmd {fl['mmd'] / 1e9:.2f} + "
+        f"sweeps {fl['sweeps'] / 1e9:.2f}) → {achieved / 1e12:.2f} TFLOP/s"
+        + (f" = {mfu * 100:.1f}% of {peak / 1e12:.0f} TF bf16 peak" if peak else
+           " (unknown device peak)")
+    )
 
     # sampler-only diagnostic: Gibbs sweep rate (value-fetch synced)
     t0 = time.perf_counter()
@@ -173,12 +247,18 @@ def main():
         metric = "scaled_pegasus5640_pt32_train_images_per_sec_per_chip"
     elif args.quick:
         metric = "quick_train_images_per_sec"
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(imgs_per_sec, 1),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / BASELINE_IMAGES_PER_SEC, 4),
-    }))
+        "ms_per_step": round(ms_per_step, 3),
+        "flops_per_step": fl["total"],
+        "achieved_tflops": round(achieved / 1e12, 3),
+    }
+    if mfu is not None:
+        out["mfu_bf16"] = round(mfu, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

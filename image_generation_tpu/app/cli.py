@@ -45,6 +45,8 @@ def _build_trainer(args, for_load: bool = False):
         overrides["GIBBS_SWEEPS"] = args.sweeps
     if getattr(args, "graph_sharded", None) is not None:
         overrides["GRAPH_SHARDED"] = args.graph_sharded
+    if getattr(args, "adam_moment_dtype", None) is not None:
+        overrides["ADAM_MOMENT_DTYPE"] = args.adam_moment_dtype
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -310,6 +312,12 @@ def main(argv=None):
         "--graph-sharded", default=None, choices=["auto", "on", "off"],
         help="partition the GRBM coupling matrix over the mesh 'chain' axis "
         "(beyond-single-chip-HBM graphs; pairs with --mesh RxG layouts)",
+    )
+    common.add_argument(
+        "--adam-moment-dtype", default=None, choices=["float32", "bfloat16"],
+        help="storage dtype of the DVAE Adam moments (bfloat16 halves "
+        "optimizer-state HBM traffic — the scaled config's measured update "
+        "floor; arithmetic stays f32; default float32)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,

@@ -38,6 +38,7 @@ __all__ = [
     "render_topology_svg",
     "latent_strip_svg",
     "problem_details_html",
+    "model_data_html",
 ]
 
 
@@ -176,6 +177,33 @@ def latent_strip_svg(
     )
     out.append("</svg>")
     return "".join(out)
+
+
+def model_data_html(meta: dict) -> str:
+    """The selected-model data card: QPU / Epochs and Latents / Batch Size
+    in two flex columns next to the model dropdown (reference
+    generate_model_data, demo_interface.py:179-202, populated on every model
+    switch by check_qpu_and_update_model, demo_callbacks.py:207-294), plus
+    the dataset origin when the checkpoint recorded one (beyond-reference:
+    utils/data.DataSource.origin — which data actually trained the model)."""
+
+    def p(label, key):
+        v = meta.get(key)
+        v = "—" if v is None else str(v)
+        return f"<p><b>{label}: </b>{_html.escape(v)}</p>"
+
+    left = p("QPU", "qpu") + p("Epochs", "n_epochs")
+    right = p("Latents", "n_latents") + p("Batch Size", "batch_size")
+    origin = meta.get("data_source")
+    tail = (
+        f'<div class="data-origin">{p("Data", "data_source")}</div>'
+        if origin
+        else ""
+    )
+    return (
+        '<div class="model-details">'
+        f"<div>{left}</div><div>{right}</div></div>{tail}"
+    )
 
 
 def problem_details_html(details: dict) -> str:

@@ -137,12 +137,20 @@ table.problem-details-table {{ border-collapse: collapse; font-size: 12px; margi
 table.problem-details-table th, table.problem-details-table td
   {{ border: 1px solid #ddd; padding: 4px 8px; text-align: left; }}
 table.problem-details-table th {{ background: #f0f4f8; }}
+.model-details {{ display: flex; gap: 18px; font-size: 12px; color: #333;
+  background: #f7f9fb; border: 1px solid #e3e8ee; border-radius: 6px;
+  padding: 2px 10px; margin-top: 8px; }}
+.model-details p {{ margin: 4px 0; }}
+.data-origin {{ font-size: 11px; color: #666; margin-top: 2px; }}
 """
 
 
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title><style>{css}</style></head>
 <body>
+<noscript><div style="padding:8px;background:#fff3cd">JavaScript is disabled —
+use the <a href="/plain">server-rendered status view</a> (auto-refreshing, no
+scripts).</div></noscript>
 <header><h1>{header}</h1><div style="font-size:12px">{description}</div></header>
 <div class="wrap">
   <div class="panel settings">
@@ -166,6 +174,7 @@ _PAGE = """<!doctype html>
     </div>
     <div id="tab-generate" style="display:none">
       <label>Model</label><select id="model" onchange="modelChanged()"></select>
+      <div id="model-data"></div>
       <label title="Binarize bright/dark pixels above 0.6 / below 0.4, keep mid-range">
         <input type="checkbox" id="sharpen" style="width:auto"> Sharpen output</label>
       <label>Tune epochs</label><input type="number" id="tune-epochs" value="5" min="1">
@@ -245,6 +254,15 @@ async function refreshModels() {{
     const o = document.createElement('option'); o.value = o.text = m.name; sel.add(o);
   }});
   if (cur) sel.value = cur;
+  refreshModelData();
+}}
+async function refreshModelData() {{
+  // the selected model's QPU/Epochs/Latents/Batch card (server-rendered;
+  // names are ^[\\w-]+$-validated, so the path needs no URI escaping)
+  const model = $('model').value;
+  if (!model) {{ $('model-data').innerHTML = ''; return; }}
+  const md = await fetchJSON(`/api/model_data_html/${{model}}`);
+  if (md && md.html !== undefined) $('model-data').innerHTML = md.html;
 }}
 function refreshDiagram(bust) {{
   ['1','2','4','5'].forEach(k => setImg('d' + k,
@@ -256,9 +274,11 @@ function refreshDiagram(bust) {{
   setImg('topo-qpu', `/api/render/topology/${{model}}/qpu.svg?e=${{bust}}`);
 }}
 async function modelChanged() {{
-  // the reference regenerates the model diagram + topology figures whenever
-  // the dropdown changes (check_qpu_and_update_model) — run the cheap
-  // refresh job, then the poller picks up the new assets
+  // the reference regenerates the model diagram + topology figures AND the
+  // model-data card whenever the dropdown changes (check_qpu_and_update_model)
+  // — fill the card, then run the cheap refresh job; the poller picks up
+  // the new assets
+  refreshModelData();
   await fetchJSON('/api/refresh_model', {{method: 'POST',
     body: JSON.stringify({{model: $('model').value}})}});
 }}
@@ -339,6 +359,83 @@ def _render_page() -> str:
         lat_val=s_lat["value"],
         ep_min=s_ep["min"], ep_max=s_ep["max"], ep_val=s_ep["value"],
     )
+
+
+def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
+    """The zero-JS fallback view: job status, progress, the latest epoch's
+    figures and the problem-details table — every element produced by the
+    same tested Python renderers the main page uses, refreshed by a plain
+    ``<meta http-equiv=refresh>``.  This makes the full train→figures loop
+    drivable end to end by pytest with no script execution anywhere
+    (the main page's ~120 JS lines are pure display sugar on top of this)."""
+    import html as _h
+
+    from image_generation_tpu.app.render import model_data_html, problem_details_html
+
+    st = jobs.status()
+    progress = files.read_progress()
+    latest = None
+    for p in sorted(files.dir.glob("generated_epoch_*.json")):
+        try:
+            latest = max(latest or -1, int(p.stem.rsplit("_", 1)[1]))
+        except ValueError:
+            pass
+
+    out = [
+        "<!doctype html><html><head><meta charset=\"utf-8\">",
+        '<meta http-equiv="refresh" content="2">',
+        f"<title>{_h.escape(ui_config.APP_TITLE)} — status</title>",
+        f"<style>{_theme_css()}</style></head><body>",
+        f"<header><h1>{_h.escape(ui_config.MAIN_HEADER)} — status view"
+        "</h1></header><div class=\"wrap\"><div class=\"panel results\">",
+        f"<div class=\"status\">job: {_h.escape(st['state'])}"
+        + (f" ({_h.escape(str(st.get('kind')))})" if st.get("kind") else "")
+        + "</div>",
+    ]
+    if progress:
+        total = progress.get("total", 1) or 1
+        out.append(
+            f"<progress value=\"{progress.get('step', 0)}\" max=\"{total}\">"
+            f"</progress><div class=\"progress-caption\">Epochs Completed: "
+            f"{progress.get('step', 0)}/{total}</div>"
+        )
+        if progress.get("batch") is not None:
+            out.append(
+                f"<div class=\"progress-caption\">Batch: {progress['batch']}"
+                f"/{progress.get('n_batches')}</div>"
+            )
+    pd = files.dir / "problem_details.json"
+    if pd.exists():
+        try:
+            out.append(problem_details_html(json.loads(pd.read_text())))
+        except json.JSONDecodeError:
+            pass
+    if latest is not None:
+        out.append(f"<h3>Epoch {latest}</h3>")
+        out.append(
+            f'<img class="fig" style="max-width:420px" alt="generated images" '
+            f'src="/api/render/generated/{latest}.png">'
+            f'<img class="fig" style="max-width:420px" alt="reconstructions" '
+            f'src="/api/render/reconstructed/{latest}.png">'
+            f'<br><img class="plot" style="max-width:420px" alt="MSE loss" '
+            f'src="/api/render/loss_mse/{latest}.svg">'
+            f'<img class="plot" style="max-width:420px" alt="total loss" '
+            f'src="/api/render/loss_total/{latest}.svg">'
+        )
+    models_root = workdir / "models"
+    if models_root.exists():
+        for d in sorted(models_root.iterdir()):
+            pj = d / "parameters.json"
+            if pj.exists():
+                try:
+                    meta = json.loads(pj.read_text())
+                except json.JSONDecodeError:
+                    continue
+                out.append(f"<h4>{_h.escape(d.name)}</h4>")
+                out.append(model_data_html(meta))
+    out.append('<div class="status"><a href="/">interactive view</a></div>')
+    out.append("</div></div></body></html>")
+    return "".join(out)
 
 
 def make_server(
@@ -428,6 +525,11 @@ def make_server(
             parts = [p for p in url.path.split("/") if p]
             if url.path == "/":
                 return self._bytes(page, "text/html; charset=utf-8")
+            if url.path == "/plain":
+                return self._bytes(
+                    _render_plain_page(jobs, files, workdir).encode(),
+                    "text/html; charset=utf-8",
+                )
             if url.path == "/api/state":
                 progress = files.read_progress()
                 latest = None
@@ -449,6 +551,21 @@ def make_server(
                             meta = json.loads(pj.read_text())
                             out.append({"name": d.name, **meta})
                 return self._json(out)
+            if len(parts) == 3 and parts[:2] == ["api", "model_data_html"]:
+                # the selected-model data card (reference generate_model_data,
+                # demo_interface.py:179-202), server-rendered like every
+                # other pixel on the page
+                from image_generation_tpu.app.render import model_data_html
+
+                model = model_dir(parts[2])
+                pj = model / "parameters.json" if model is not None else None
+                if pj is None or not pj.exists():
+                    return self._json({"error": "unknown model"}, 404)
+                try:
+                    meta = json.loads(pj.read_text())
+                except json.JSONDecodeError:
+                    return self._json({"html": ""})
+                return self._json({"html": model_data_html(meta)})
             if len(parts) >= 3 and parts[:2] == ["api", "render"]:
                 try:
                     return self._render_endpoint(parts)
@@ -537,6 +654,7 @@ def make_server(
         return int(seg)  # ValueError → caught by the render guard → 404
 
     _topo_cache: dict = {}
+    _topo_lock = threading.Lock()
 
     def _topology_fig(model: Path, kind: str) -> dict:
         values = None
@@ -557,11 +675,18 @@ def make_server(
         except OSError:
             mtime = None
         ck = (str(model), kind, mtime, None if values is None else tuple(values))
-        if ck not in _topo_cache:
-            if len(_topo_cache) > 8:  # bound: a handful of (model, kind) pairs
-                _topo_cache.clear()
-            _topo_cache[ck] = model_topology_figure(model, values)
-        return _topo_cache[ck]
+        # handler threads share the cache: hold the computed figure in a
+        # local and return THAT (another thread's clear() between insert and
+        # a dict re-read would raise KeyError and 500 a poll request)
+        with _topo_lock:
+            fig = _topo_cache.get(ck)
+        if fig is None:
+            fig = model_topology_figure(model, values)
+            with _topo_lock:
+                if len(_topo_cache) > 8:  # bound: a handful of (model, kind) pairs
+                    _topo_cache.clear()
+                _topo_cache[ck] = fig
+        return fig
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.jobs = jobs  # for tests/embedding

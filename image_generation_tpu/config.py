@@ -57,6 +57,12 @@ class TrainingConfig:
     # HBM/VMEM traffic beats the per-color cast cost), f32 otherwise;
     # ±1 spins are exact in bf16 and accumulation is always f32.
     # "float32" forces bit-level determinism (sharding-equivalence tests).
+    ADAM_MOMENT_DTYPE: str = "float32"  # storage dtype of the DVAE Adam
+    # moments (mu AND nu): "float32" (default — exact reference semantics)
+    # or "bfloat16" — halves optimizer-state HBM footprint/traffic, the
+    # measured bottleneck of the scaled 127M-dense config's update pass
+    # (runs/scaled_attribution_dvae.json); arithmetic stays f32 either way
+    # (training/optim.py).  The GRBM's Adam always stays f32 (tiny).
     USE_PALLAS: str = "auto"  # "auto" | "on" | "off" — fused Pallas Gibbs
     # kernel for the training-step negative phase. auto = on for TPU
     # backends when the problem fits VMEM. On a multi-chip mesh the kernel
@@ -81,6 +87,27 @@ class TrainingConfig:
     # (src/utils/common.py:129); these are the production Advantage ranges.
     H_RANGE: tuple = (-4.0, 4.0)
     J_RANGE: tuple = (-1.0, 1.0)
+
+    def __post_init__(self):
+        # YAML 1.1 parses bare on/off/yes/no as booleans, so a file saying
+        # ``GRAPH_SHARDED: on`` reaches us as True — which would compare
+        # unequal to both "on" and "auto" in make_train_fns and silently
+        # behave as "off", replicating a beyond-HBM coupling.  Normalize
+        # bools to the string form and fail loudly on anything else.
+        for field in ("GRAPH_SHARDED", "USE_PALLAS"):
+            v = getattr(self, field)
+            if isinstance(v, bool):
+                v = "on" if v else "off"
+                object.__setattr__(self, field, v)
+            if v not in ("auto", "on", "off"):
+                raise ValueError(
+                    f"{field} must be one of 'auto'/'on'/'off', got {v!r}"
+                )
+        if self.ADAM_MOMENT_DTYPE not in ("float32", "bfloat16"):
+            raise ValueError(
+                "ADAM_MOMENT_DTYPE must be 'float32' or 'bfloat16', got "
+                f"{self.ADAM_MOMENT_DTYPE!r}"
+            )
 
     @classmethod
     def from_yaml(cls, path, **overrides) -> "TrainingConfig":

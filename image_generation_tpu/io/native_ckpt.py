@@ -2,11 +2,22 @@
 
 The reference can only save/load model weights (two torch state dicts), so a
 run cannot resume mid-training with its optimizer state, LR position, RNG or
-sampler chains — SURVEY.md §5 notes "mid-epoch resume is impossible".  This
-module adds what production training needs: the FULL ``TrainState``
-(parameters, BatchNorm stats, both Adam states, persistent Gibbs/PT chains,
-the cached sampler model, step counter, RNG key) serialized with
-orbax-checkpoint, giving bit-exact resume.
+sampler chains — SURVEY.md §5 notes "mid-epoch resume is impossible"
+(reference save: src/model_wrapper.py:148-162).  This module adds what
+production training needs: the ``TrainState`` (parameters, BatchNorm stats,
+both Adam states, persistent Gibbs/PT chains + their carried ladder
+energies, step counter, RNG key) serialized with orbax-checkpoint, giving
+bit-exact resume.
+
+Only NON-DERIVABLE state is written: the cached sampler model
+(``sampler_h``, ``sampler_coupling``) is a deterministic function of
+``grbm_params`` (training/step.py build_sampler_model) and is the state's
+largest buffer by far — n_pad² (72-145 MB at 5640 spins, gigabytes in the
+graph-sharded beyond-HBM regime, where serializing it would also force the
+never-materialize-whole matrix through one host).  ``restore_train_state``
+rebuilds it via the bundle's jitted ``rebuild_cache`` (bit-exact, and
+row-sharded under the graph-sharded constraint).  Checkpoint bytes are
+therefore ∝ params + optimizer moments + chains.
 
 The torch-format directory (io/checkpoint.py) remains the interchange format
 with the reference app; native checkpoints are the fault-tolerance format.
@@ -20,6 +31,9 @@ from typing import Optional
 
 __all__ = ["save_train_state", "restore_train_state", "latest_step"]
 
+# leaves excluded from serialization — derived from grbm_params
+_DERIVED = {"sampler_h": None, "sampler_coupling": None}
+
 
 def _ckptr():
     import orbax.checkpoint as ocp
@@ -27,16 +41,26 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(directory, state, step: Optional[int] = None) -> Path:
-    """Write the full TrainState under ``directory/step_<k>``."""
-    import orbax.checkpoint as ocp
+def _strip(state) -> dict:
+    """Fields to drop before serialization: the derived sampler cache, plus
+    the non-PT (0,)-shaped chain_energies placeholder (orbax refuses
+    zero-size arrays; it is recreated verbatim on restore)."""
+    drop = dict(_DERIVED)
+    if getattr(state.chain_energies, "size", 1) == 0:
+        drop["chain_energies"] = None
+    return drop
 
+
+def save_train_state(directory, state, step: Optional[int] = None) -> Path:
+    """Write the non-derivable TrainState under ``directory/step_<k>``."""
     directory = Path(directory).resolve()
     directory.mkdir(parents=True, exist_ok=True)
     if step is None:
         step = int(state.opt_step)
     path = directory / f"step_{step:08d}"
-    _ckptr().save(path, state, force=True)
+    # None leaves are empty pytree nodes: the derived cache is simply absent
+    # from the file (and from the bytes written)
+    _ckptr().save(path, state.replace(**_strip(state)), force=True)
     return path
 
 
@@ -50,14 +74,35 @@ def latest_step(directory) -> Optional[int]:
     return steps[-1] if steps else None
 
 
-def restore_train_state(directory, template, step: Optional[int] = None):
+def restore_train_state(directory, template, step: Optional[int] = None,
+                        rebuild_cache=None):
     """Restore a TrainState; ``template`` is a same-structure state (e.g. a
-    fresh ``fns.init(...)`` result) providing the pytree/shape/sharding spec."""
+    fresh ``fns.init(...)`` result) providing the pytree/shape/sharding spec.
+
+    ``rebuild_cache``: the bundle's ``TrainStepFns.rebuild_cache`` — rebuilds
+    the stripped (sampler_h, sampler_coupling) from the restored grbm_params
+    (bit-exact: the cache is a deterministic jitted function of the params).
+    When omitted, the returned state carries ``None`` in those fields and the
+    caller must rebuild before stepping.
+    """
     directory = Path(directory).resolve()
     if step is None:
         step = latest_step(directory)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = directory / f"step_{step:08d}"
-    restored = _ckptr().restore(path, item=template)
+    drop = _strip(template)
+    try:
+        restored = _ckptr().restore(path, item=template.replace(**drop))
+    except (ValueError, KeyError):
+        # pre-slimming checkpoint: the derived cache was serialized — restore
+        # it with the full template (still valid, just bigger on disk)
+        restored = _ckptr().restore(path, item=template)
+        return restored
+    if "chain_energies" in drop:
+        # recreate the non-PT placeholder the save dropped (orbax cannot
+        # hold zero-size arrays)
+        restored = restored.replace(chain_energies=template.chain_energies)
+    if rebuild_cache is not None:
+        restored = rebuild_cache(restored)
     return restored

@@ -183,7 +183,8 @@ def gibbs_sweeps(
     n_sweeps: int,
     beta: jax.Array | float = 1.0,
     matmul_dtype=None,
-) -> jax.Array:
+    track_delta_e: bool = False,
+):
     """Run ``n_sweeps`` systematic color-scan Gibbs sweeps (padded coords).
 
     Args:
@@ -191,10 +192,20 @@ def gibbs_sweeps(
         (n_pad, n_pad) from ``permuted_model``.
       spins_p: (chains, n_pad) current state in {−1, +1}.
       beta: inverse temperature, scalar or (chains,).
+      track_delta_e: also return the (chains,) total energy change of the
+        run.  A color class has no intra-class couplings, so the exact
+        change of one block update is ΔE = fields·(s_new − s_old) with the
+        ``fields`` the sweep already computed — energy tracking costs one
+        elementwise pass per color, no extra matmul.  Parallel tempering
+        uses this to carry ladder energies across rounds instead of
+        recomputing two full (T·C, n_pad)×(n_pad, n_pad) products per
+        replica-exchange round (pt_round).
 
     Conditional update: local field f_i = h_i + Σ_j A_ij s_j and
     p(s_i = +1 | rest) = σ(−2 β f_i) — the Boltzmann conditional of
     E(s) = h·s + ½ sᵀAs.
+
+    Returns spins, or (spins, delta_e) when ``track_delta_e``.
     """
     beta = jnp.asarray(beta, dtype=spins_p.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
@@ -204,7 +215,8 @@ def gibbs_sweeps(
     # accumulation stays f32 (MXU-native). Halves HBM traffic on big graphs.
     coupling_mm = coupling_p.astype(matmul_dtype) if matmul_dtype else coupling_p
 
-    def sweep(s, k_sweep):
+    def sweep(carry, k_sweep):
+        s, de = carry
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
@@ -220,11 +232,19 @@ def gibbs_sweeps(
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             u = jax.random.uniform(k, (chains, width), dtype=fields.dtype)
             new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
+            if track_delta_e:
+                old = jax.lax.slice_in_dim(s, start, stop, axis=1)
+                de = de + jnp.sum(
+                    fields * (new - old).astype(jnp.float32), axis=-1
+                )
             s = jax.lax.dynamic_update_slice_in_dim(s, new, start, axis=1)
-        return s, None
+        return (s, de), None
 
-    spins_p, _ = jax.lax.scan(sweep, spins_p, jax.random.split(key, n_sweeps))
-    return spins_p
+    de0 = jnp.zeros((chains,), jnp.float32)
+    (spins_p, de), _ = jax.lax.scan(
+        sweep, (spins_p, de0), jax.random.split(key, n_sweeps)
+    )
+    return (spins_p, de) if track_delta_e else spins_p
 
 
 def ising_energies(
@@ -262,7 +282,9 @@ def pt_round(
     sweeps_fn=None,
     matmul_dtype=None,
     energies_fn=None,
-) -> jax.Array:
+    energies: Optional[jax.Array] = None,
+    return_energies: bool = False,
+):
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
     Args:
@@ -272,6 +294,16 @@ def pt_round(
         graph-sharded training passes ops.gibbs_graph_sharded.
         ising_energies_graph_sharded so the swap energies ride the
         reduce_scatter layout instead of gathering the sharded coupling.
+      energies: optional (T, C) ladder energies carried from the previous
+        round.  When given, ``sweeps_fn`` is called with
+        ``track_delta_e=True`` and the swap energies are
+        ``energies + delta`` — NO full-ladder energy matmul runs at all.
+        When None, energies are computed once after the sweeps (still half
+        the historical cost: the odd pass reuses the even pass's energies,
+        permuted by the accepted swaps — bitwise identical to recomputing,
+        since a configuration's energy doesn't depend on its ladder row).
+      return_energies: return ``(spins, energies)`` so callers can carry
+        the ladder energies into the next round.
 
     Replica exchange: adjacent pairs (t, t+1) attempt a configuration swap
     accepted with probability min(1, exp((β_t − β_{t+1})(E_t − E_{t+1}))),
@@ -280,8 +312,11 @@ def pt_round(
     t_dim, c_dim, n_pad = spins_p.shape
     k_sweep, k_even, k_odd = jax.random.split(key, 3)
     if sweeps_fn is None:
-        def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0):
-            return gibbs_sweeps(k, h_, c_, p_, s_, n_, beta, matmul_dtype=matmul_dtype)
+        def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0, track_delta_e=False):
+            return gibbs_sweeps(
+                k, h_, c_, p_, s_, n_, beta, matmul_dtype=matmul_dtype,
+                track_delta_e=track_delta_e,
+            )
 
     if energies_fn is None:
         def energies_fn(h_, c_, s_):
@@ -289,11 +324,21 @@ def pt_round(
 
     flat = spins_p.reshape(t_dim * c_dim, n_pad)
     beta_per_chain = jnp.repeat(betas, c_dim)
-    flat = sweeps_fn(k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain)
+    if energies is not None:
+        flat, de = sweeps_fn(
+            k_sweep, hp, coupling_p, plan, flat, sweeps_per_round,
+            beta_per_chain, track_delta_e=True,
+        )
+        e = energies + de.reshape(t_dim, c_dim)
+    else:
+        flat = sweeps_fn(
+            k_sweep, hp, coupling_p, plan, flat, sweeps_per_round, beta_per_chain
+        )
     spins_p = flat.reshape(t_dim, c_dim, n_pad)
+    if energies is None:
+        e = energies_fn(hp, coupling_p, spins_p)  # (T, C), once per round
 
-    def swap_pass(s, k, parity):
-        e = energies_fn(hp, coupling_p, s)  # (T, C)
+    def swap_pass(s, e, k, parity):
         delta = (betas[:-1] - betas[1:])[:, None] * (e[:-1] - e[1:])  # (T-1, C)
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]
@@ -301,15 +346,24 @@ def pt_round(
         pad = jnp.zeros((1, c_dim), dtype=bool)
         swap_next = jnp.concatenate([accept, pad], axis=0)  # row t ↔ t+1
         swap_prev = jnp.concatenate([pad, accept], axis=0)  # row t ↔ t−1
-        s_next = jnp.roll(s, -1, axis=0)
-        s_prev = jnp.roll(s, 1, axis=0)
-        return jnp.where(
-            swap_next[..., None], s_next, jnp.where(swap_prev[..., None], s_prev, s)
-        )
 
-    spins_p = swap_pass(spins_p, k_even, 0)
-    spins_p = swap_pass(spins_p, k_odd, 1)
-    return spins_p
+        def permute(x):
+            return jnp.where(
+                swap_next, jnp.roll(x, -1, axis=0),
+                jnp.where(swap_prev, jnp.roll(x, 1, axis=0), x),
+            )
+
+        # energies travel WITH the configurations: permuting e by the same
+        # masks is bitwise what recomputing it after the swap would give
+        s = jnp.where(
+            swap_next[..., None], jnp.roll(s, -1, axis=0),
+            jnp.where(swap_prev[..., None], jnp.roll(s, 1, axis=0), s),
+        )
+        return s, permute(e)
+
+    spins_p, e = swap_pass(spins_p, e, k_even, 0)
+    spins_p, e = swap_pass(spins_p, e, k_odd, 1)
+    return (spins_p, e) if return_energies else spins_p
 
 
 def pt_sample(
@@ -338,11 +392,18 @@ def pt_sample(
             t_dim, n_chains, plan.n_pad
         )
 
-    def round_fn(s, k):
+    # ladder energies are computed ONCE here and carried through every round
+    # (the sweeps track ΔE, the swaps permute e) — no per-round energy matmul
+    e0 = ising_energies(hp, coupling_p, init_spins, matmul_dtype)
+
+    def round_fn(carry, k):
+        s, e = carry
         return pt_round(
             k, hp, coupling_p, plan, s, betas, sweeps_per_round,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, energies=e, return_energies=True,
         ), None
 
-    spins_p, _ = jax.lax.scan(round_fn, init_spins, jax.random.split(key, n_rounds))
+    (spins_p, _), _ = jax.lax.scan(
+        round_fn, (init_spins, e0), jax.random.split(key, n_rounds)
+    )
     return spins_p[-1], spins_p

@@ -86,10 +86,18 @@ def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> boo
 
 def _sweep_body(
     key, hp, a_loc, s_loc, beta, blocks, row_axis, graph_axis, n_sweeps,
-    matmul_dtype,
+    matmul_dtype, track_delta_e=False,
 ):
     """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad).
-    ``row_axis`` is None when chain rows are replicated (non-tiling count)."""
+    ``row_axis`` is None when chain rows are replicated (non-tiling count).
+
+    ``track_delta_e``: also return the (C_loc,) energy change of the run.
+    The block update's exact ΔE is fields·(s_new − s_old) (no intra-color
+    couplings); each shard owns a column slice of every block, so it
+    accumulates its partial Σ_{owned∩block} fields·Δs locally through the
+    whole scan and ONE final psum over ``graph_axis`` delivers the total —
+    PT rounds carry ladder energies instead of recomputing them through the
+    reduce_scatter path (pt_round)."""
     c_loc, l_loc = s_loc.shape
     g_idx = jax.lax.axis_index(graph_axis)
     # this shard's global column ids — the write mask for every color block
@@ -105,7 +113,8 @@ def _sweep_body(
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
 
-    def sweep(s, k_sweep):
+    def sweep(carry, k_sweep):
+        s, de = carry
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
@@ -134,15 +143,33 @@ def _sweep_body(
             # blocks are fully masked out by ``in_block``.
             in_block = (g_cols >= start) & (g_cols < stop)
             rel = start - g_idx * l_loc
+            off = (jnp.int32(0), jnp.clip(rel + width, 0, l_loc + width))
             buf = jnp.zeros((c_loc, l_loc + 2 * width), s.dtype)
-            buf = jax.lax.dynamic_update_slice(
-                buf, new, (jnp.int32(0), jnp.clip(rel + width, 0, l_loc + width))
-            )
+            buf = jax.lax.dynamic_update_slice(buf, new, off)
             cand = jax.lax.slice(buf, (0, width), (c_loc, width + l_loc))
+            if track_delta_e:
+                # window-align the block's fields the same way, then this
+                # shard's ΔE partial over the columns it owns in the block
+                buf_f = jnp.zeros((c_loc, l_loc + 2 * width), jnp.float32)
+                buf_f = jax.lax.dynamic_update_slice(buf_f, fields, off)
+                f_win = jax.lax.slice(buf_f, (0, width), (c_loc, width + l_loc))
+                de = de + jnp.sum(
+                    jnp.where(
+                        in_block[None, :],
+                        f_win * (cand - s).astype(jnp.float32),
+                        0.0,
+                    ),
+                    axis=-1,
+                )
             s = jnp.where(in_block[None, :], cand, s)
-        return s, None
+        return (s, de), None
 
-    s_loc, _ = jax.lax.scan(sweep, s_loc, jax.random.split(key, n_sweeps))
+    de0 = jnp.zeros((c_loc,), jnp.float32)
+    (s_loc, de), _ = jax.lax.scan(
+        sweep, (s_loc, de0), jax.random.split(key, n_sweeps)
+    )
+    if track_delta_e:
+        return s_loc, jax.lax.psum(de, graph_axis)
     return s_loc
 
 
@@ -158,7 +185,8 @@ def gibbs_sweeps_graph_sharded(
     chain_axis: str = "data",
     graph_axis: str = "chain",
     matmul_dtype=None,
-) -> jax.Array:
+    track_delta_e: bool = False,
+):
     """``gibbs_sweeps`` with the graph dimension partitioned over the mesh.
 
     Args match ops/gibbs.gibbs_sweeps plus the mesh and its two axis roles:
@@ -185,6 +213,11 @@ def gibbs_sweeps_graph_sharded(
     row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
     beta_arr = jnp.asarray(beta)
     beta_spec = P() if beta_arr.ndim == 0 else P(row_axis)
+    out_specs = P(row_axis, graph_axis)
+    if track_delta_e:
+        # delta energies are psum'd over the graph axis inside the body →
+        # replicated across it; rows follow the chains' row sharding
+        out_specs = (out_specs, P(row_axis))
     fn = shard_map(
         partial(
             _sweep_body,
@@ -193,6 +226,7 @@ def gibbs_sweeps_graph_sharded(
             graph_axis=graph_axis,
             n_sweeps=n_sweeps,
             matmul_dtype=matmul_dtype,
+            track_delta_e=track_delta_e,
         ),
         mesh=mesh,
         in_specs=(
@@ -202,7 +236,7 @@ def gibbs_sweeps_graph_sharded(
             P(row_axis, graph_axis),   # spins
             beta_spec,
         ),
-        out_specs=P(row_axis, graph_axis),
+        out_specs=out_specs,
         check_vma=False,
     )
     return fn(key, hp, coupling_p, spins_p, beta_arr)

@@ -69,13 +69,20 @@ def supported_by_pallas(plan: GibbsPlan, n_chains: int, chain_block: int = 256) 
     return coupling_bytes + spins_bytes + 3 * fields_bytes < _VMEM_BUDGET
 
 
-def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for):
+def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for,
+                  de_ref=None):
     """One full sweep over the color blocks; ``uniform_for(c0, c1)`` supplies
     the (chains, width) uniforms for a block.
 
     The coupling buffer may be bf16 (±1 spins are exact in bf16; couplings
     lose nothing statistically): spins are cast to its dtype per block and
     the MXU accumulates in f32.
+
+    ``de_ref``: optional (chains, 1) f32 accumulator for the exact energy
+    change — ΔE of a block update is fields·(s_new − s_old) because a color
+    class has no intra-class couplings, so energy tracking is one VPU pass
+    per color (pt_round carries PT ladder energies with this instead of
+    recomputing full-ladder energy matmuls).
     """
     for c0, _valid, c1 in plan.blocks:
         fields = jnp.dot(
@@ -86,15 +93,24 @@ def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for):
         fields = fields + h_ref[0, c0:c1]
         p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
         u = uniform_for(c0, c1)
-        spins_ref[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0)
+        new = jnp.where(u < p_plus, 1.0, -1.0)
+        if de_ref is not None:
+            old = spins_ref[:, c0:c1].astype(jnp.float32)
+            de_ref[:] = de_ref[:] + jnp.sum(
+                fields * (new - old), axis=-1, keepdims=True
+            )
+        spins_ref[:, c0:c1] = new.astype(spins_ref.dtype)
 
 
-def _kernel(plan: GibbsPlan, n_sweeps: int, seed_ref, h_ref, beta_ref, coupling_ref,
-            spins_in_ref, spins_out_ref):
+def _kernel(plan: GibbsPlan, n_sweeps: int, track_de: bool, seed_ref, h_ref,
+            beta_ref, coupling_ref, spins_in_ref, spins_out_ref, *maybe_de):
     # decorrelate grid instances: each chain block gets its own stream
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     spins_out_ref[:] = spins_in_ref[:]
     chains = spins_out_ref.shape[0]
+    de_ref = maybe_de[0] if track_de else None
+    if de_ref is not None:
+        de_ref[:] = jnp.zeros_like(de_ref)
 
     def uniform_for(c0, c1):
         bits = pltpu.bitcast(pltpu.prng_random_bits((chains, c1 - c0)), jnp.uint32)
@@ -104,14 +120,16 @@ def _kernel(plan: GibbsPlan, n_sweeps: int, seed_ref, h_ref, beta_ref, coupling_
         return top24.astype(jnp.float32) * (1.0 / (1 << 24))
 
     def sweep(_, carry):
-        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref, uniform_for)
+        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref,
+                      uniform_for, de_ref)
         return carry
 
     jax.lax.fori_loop(0, n_sweeps, sweep, 0)
 
 
-def _kernel_fed(plan: GibbsPlan, n_sweeps: int, h_ref, beta_ref, coupling_ref,
-                uniforms_ref, spins_in_ref, spins_out_ref):
+def _kernel_fed(plan: GibbsPlan, n_sweeps: int, track_de: bool, h_ref, beta_ref,
+                coupling_ref, uniforms_ref, spins_in_ref, spins_out_ref,
+                *maybe_de):
     """Test variant: uniforms supplied as an input (n_sweeps, chains, n_pad).
 
     Exists because the TPU *interpreter* stubs ``prng_random_bits`` to zeros
@@ -119,12 +137,16 @@ def _kernel_fed(plan: GibbsPlan, n_sweeps: int, h_ref, beta_ref, coupling_ref,
     host-generated uniforms.  The compiled on-chip path uses ``_kernel``.
     """
     spins_out_ref[:] = spins_in_ref[:]
+    de_ref = maybe_de[0] if track_de else None
+    if de_ref is not None:
+        de_ref[:] = jnp.zeros_like(de_ref)
 
     def sweep(i, carry):
         def uniform_for(c0, c1):
             return uniforms_ref[i, :, c0:c1]
 
-        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref, uniform_for)
+        _color_update(plan, spins_out_ref, coupling_ref, h_ref, beta_ref,
+                      uniform_for, de_ref)
         return carry
 
     jax.lax.fori_loop(0, n_sweeps, sweep, 0)
@@ -142,7 +164,8 @@ def gibbs_sweeps_pallas(
     interpret: bool = False,
     uniforms: Optional[jax.Array] = None,
     matmul_dtype=None,
-) -> jax.Array:
+    track_delta_e: bool = False,
+):
     """Drop-in replacement for ``ops.gibbs.gibbs_sweeps`` (same contract).
 
     Chains are split into ``chain_block``-row grid instances (independent
@@ -155,6 +178,10 @@ def gibbs_sweeps_pallas(
 
     ``matmul_dtype``: dtype of the coupling buffer/matmuls (e.g. bf16 —
     halves VMEM and HBM traffic; f32 accumulation either way).
+
+    ``track_delta_e``: also return the (chains,) exact energy change of the
+    run (in-kernel fields·Δs accumulation — no extra matmul; see
+    ops.gibbs.gibbs_sweeps).
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
@@ -174,10 +201,25 @@ def gibbs_sweeps_pallas(
         # interpreter (which also composes with shard_map, where the TPU
         # interpreter deadlocks).
         interpret = pltpu.InterpretParams()
+    spins_out_spec = pl.BlockSpec(
+        (block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    spins_out_shape = jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32)
+    if track_delta_e:
+        out_specs = (
+            spins_out_spec,
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            spins_out_shape,
+            jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
+        )
+    else:
+        out_specs, out_shape = spins_out_spec, spins_out_shape
     common = dict(
         grid=(grid,),
-        out_specs=pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=grid * n_sweeps * flops_per_sweep,
             bytes_accessed=grid * (n_pad * n_pad * 4 + 2 * block * n_pad * 4),
@@ -191,10 +233,15 @@ def gibbs_sweeps_pallas(
     mm_dtype = matmul_dtype or jnp.float32
     spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def _unpack(out):
+        if track_delta_e:
+            return out[0], out[1][:, 0]
+        return out
+
     if uniforms is not None:
         assert uniforms.shape == (n_sweeps, n_chains, n_pad)
-        kernel = functools.partial(_kernel_fed, plan, n_sweeps)
-        return pl.pallas_call(
+        kernel = functools.partial(_kernel_fed, plan, n_sweeps, track_delta_e)
+        return _unpack(pl.pallas_call(
             kernel,
             in_specs=[
                 h_spec,
@@ -207,11 +254,11 @@ def gibbs_sweeps_pallas(
             ],
             **common,
         )(h2d, beta_arr, coupling_p.astype(mm_dtype),
-          uniforms.astype(jnp.float32), spins_p.astype(jnp.float32))
+          uniforms.astype(jnp.float32), spins_p.astype(jnp.float32)))
 
     seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
-    kernel = functools.partial(_kernel, plan, n_sweeps)
-    return pl.pallas_call(
+    kernel = functools.partial(_kernel, plan, n_sweeps, track_delta_e)
+    return _unpack(pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
@@ -221,7 +268,7 @@ def gibbs_sweeps_pallas(
             spins_spec,
         ],
         **common,
-    )(seed, h2d, beta_arr, coupling_p.astype(mm_dtype), spins_p.astype(jnp.float32))
+    )(seed, h2d, beta_arr, coupling_p.astype(mm_dtype), spins_p.astype(jnp.float32)))
 
 
 def gibbs_sweeps_pallas_sharded(
@@ -260,8 +307,11 @@ def gibbs_sweeps_pallas_sharded(
         jnp.asarray(beta, jnp.float32).reshape(-1), (spins_p.shape[0],)
     )
     uniforms = kwargs.pop("uniforms", None)
+    track_delta_e = kwargs.pop("track_delta_e", False)
     if kernel_fn is None:
         kernel_fn = gibbs_sweeps_pallas
+    # (spins, delta_e) when tracking energies — both row-sharded like chains
+    out_specs = (P(axes), P(axes)) if track_delta_e else P(axes)
 
     def local(key, hp, coupling_p, spins_local, beta_local, uniforms_local):
         idx = jnp.zeros((), jnp.int32)
@@ -270,7 +320,7 @@ def gibbs_sweeps_pallas_sharded(
         k = jax.random.fold_in(key, idx)
         return kernel_fn(
             k, hp, coupling_p, plan, spins_local, n_sweeps, beta_local,
-            uniforms=uniforms_local, **kwargs
+            uniforms=uniforms_local, track_delta_e=track_delta_e, **kwargs
         )
 
     if uniforms is None:
@@ -282,7 +332,7 @@ def gibbs_sweeps_pallas_sharded(
             local_hw,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(axes), P(axes)),
-            out_specs=P(axes),
+            out_specs=out_specs,
             check_vma=False,
         )(key, hp, coupling_p, spins_p, beta_arr)
 
@@ -290,6 +340,6 @@ def gibbs_sweeps_pallas_sharded(
         local,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axes), P(axes), P(None, axes)),
-        out_specs=P(axes),
+        out_specs=out_specs,
         check_vma=False,
     )(key, hp, coupling_p, spins_p, beta_arr, uniforms)

@@ -79,15 +79,27 @@ def hbm_chain_block(
     return 1
 
 
-def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool, *refs):
+def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool,
+            track_de: bool, *refs):
+    de_ref = None
     if use_hw_rng:
-        (seed_ref, h_ref, beta_ref, coupling_hbm, spins_hbm, out_hbm,
-         spins_vmem, scratch, sems, spin_sem) = refs
+        if track_de:
+            (seed_ref, h_ref, beta_ref, coupling_hbm, spins_hbm, out_hbm,
+             de_ref, spins_vmem, scratch, sems, spin_sem) = refs
+        else:
+            (seed_ref, h_ref, beta_ref, coupling_hbm, spins_hbm, out_hbm,
+             spins_vmem, scratch, sems, spin_sem) = refs
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         uniforms_ref = None
     else:
-        (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_hbm, out_hbm,
-         spins_vmem, scratch, sems, spin_sem) = refs
+        if track_de:
+            (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_hbm, out_hbm,
+             de_ref, spins_vmem, scratch, sems, spin_sem) = refs
+        else:
+            (h_ref, beta_ref, coupling_hbm, uniforms_ref, spins_hbm, out_hbm,
+             spins_vmem, scratch, sems, spin_sem) = refs
+    if de_ref is not None:
+        de_ref[:] = jnp.zeros_like(de_ref)
     i = pl.program_id(0)
     rows = pl.ds(i * block, block)
     blocks = plan.blocks
@@ -128,9 +140,15 @@ def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool, *refs):
                 u = _uniform_hw(block, width)
             else:
                 u = uniforms_ref[2 * i_half + step, :, c0:c1]
-            spins_vmem[:, c0:c1] = jnp.where(u < p_plus, 1.0, -1.0).astype(
-                spins_vmem.dtype
-            )
+            new = jnp.where(u < p_plus, 1.0, -1.0)
+            if de_ref is not None:
+                # exact ΔE of a color-block update: fields·(s_new − s_old)
+                # (no intra-color couplings) — PT ladder energies ride this
+                old = spins_vmem[:, c0:c1].astype(jnp.float32)
+                de_ref[:] = de_ref[:] + jnp.sum(
+                    fields * (new - old), axis=-1, keepdims=True
+                )
+            spins_vmem[:, c0:c1] = new.astype(spins_vmem.dtype)
         return carry
 
     jax.lax.fori_loop(0, n_half, half, 0)
@@ -153,12 +171,17 @@ def gibbs_sweeps_pallas_hbm(
     block_dtype=jnp.bfloat16,
     interpret: bool = False,
     uniforms: Optional[jax.Array] = None,
-) -> jax.Array:
+    track_delta_e: bool = False,
+):
     """Drop-in sampler for graphs whose coupling matrix exceeds VMEM.
 
     Same contract as ``gibbs_sweeps``/``gibbs_sweeps_pallas`` (f32 in/out;
     spins are held and streamed in ``block_dtype`` internally — exact for
     ±1).  ``n_sweeps`` is rounded UP to an even count (module docstring).
+
+    ``track_delta_e``: also return the (chains,) exact energy change of the
+    run, covering the ACTUAL (rounded-up) sweeps performed — consistent
+    with the returned spins.
     """
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
@@ -174,11 +197,26 @@ def gibbs_sweeps_pallas_hbm(
     use_hw_rng = uniforms is None
     sdt = jnp.dtype(block_dtype)
 
-    kernel = functools.partial(_kernel, plan, n_half, block, use_hw_rng)
+    kernel = functools.partial(
+        _kernel, plan, n_half, block, use_hw_rng, track_delta_e
+    )
+    spins_out_spec = pl.BlockSpec(memory_space=pl.ANY)  # written by manual DMA
+    spins_out_shape = jax.ShapeDtypeStruct((n_chains, n_pad), sdt)
+    if track_delta_e:
+        out_specs = (
+            spins_out_spec,
+            pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            spins_out_shape,
+            jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
+        )
+    else:
+        out_specs, out_shape = spins_out_spec, spins_out_shape
     common = dict(
         grid=(grid,),
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # written by manual DMA
-        out_shape=jax.ShapeDtypeStruct((n_chains, n_pad), sdt),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block, n_pad), sdt),  # resident spin block
             pltpu.VMEM((2, n_pad, max_w), sdt),  # coupling double-buffer
@@ -194,6 +232,11 @@ def gibbs_sweeps_pallas_hbm(
     spins_spec = pl.BlockSpec(memory_space=pl.ANY)  # loaded by manual DMA
     coupling_cast = coupling_p.astype(sdt)
     spins_cast = spins_p.astype(sdt)
+
+    def _unpack(out):
+        if track_delta_e:
+            return out[0].astype(jnp.float32), out[1][:, 0]
+        return out.astype(jnp.float32)
 
     if uniforms is not None:
         assert uniforms.shape[1:] == (n_chains, n_pad)
@@ -212,7 +255,7 @@ def gibbs_sweeps_pallas_hbm(
             ],
             **common,
         )(h2d, beta_arr, coupling_cast, uniforms.astype(jnp.float32), spins_cast)
-        return out.astype(jnp.float32)
+        return _unpack(out)
 
     seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     out = pl.pallas_call(
@@ -226,4 +269,4 @@ def gibbs_sweeps_pallas_hbm(
         ],
         **common,
     )(seed, h2d, beta_arr, coupling_cast, spins_cast)
-    return out.astype(jnp.float32)
+    return _unpack(out)

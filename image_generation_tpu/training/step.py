@@ -56,6 +56,7 @@ from image_generation_tpu.ops.gibbs import (
     GibbsPlan,
     build_plan,
     gibbs_sweeps,
+    ising_energies,
     permuted_model,
     pt_round,
     random_spins,
@@ -76,6 +77,12 @@ class TrainState:
     dvae_opt: optax.OptState
     grbm_opt: optax.OptState
     chains: jax.Array  # (NUM_READS, n_pad) persistent Gibbs chains (±1)
+    chain_energies: jax.Array  # PT mode: (T, C) carried ladder energies of
+    # ``chains`` under the cached sampler model — sweeps track ΔE and swap
+    # passes permute them, so replica exchange never recomputes a full
+    # (T·C, n_pad)×(n_pad, n_pad) energy matmul; refreshed whenever the
+    # model changes (scheduled GRBM steps, rebuild_sampler).  Non-PT mode:
+    # a (0,) placeholder.
     sampler_h: jax.Array  # (n_pad,) cached permuted fields of the scaled model
     sampler_coupling: jax.Array  # (n_pad, n_pad) cached permuted couplings —
     # rebuilt only when grbm_params change (the scheduled GRBM steps), so the
@@ -107,6 +114,7 @@ class TrainStepFns:
         sample_fn,
         step_body,
         rebuild_sampler,
+        rebuild_cache=None,
         dvae_lr=None,
         grbm_lr=None,
         sampler_impl=None,
@@ -121,6 +129,8 @@ class TrainStepFns:
         self.sample = sample_fn
         self.step_body = step_body  # unjitted: for sharded/pjit wrapping
         self.rebuild_sampler = rebuild_sampler  # refresh cache after swapping params
+        self.rebuild_cache = rebuild_cache  # cache only, no chain re-burn
+        # (checkpoint restore: io/native_ckpt.py strips the derived cache)
         self.dvae_lr = dvae_lr  # step → LR (observability: the reference
         self.grbm_lr = grbm_lr  # prints/dumps both per epoch)
         # which negative-phase sampler this bundle compiled in: one of
@@ -166,8 +176,16 @@ def make_train_fns(
 
     # torch.optim.Adam(lr, weight_decay) ≡ L2-into-grad then Adam moments;
     # LR applied explicitly per step so the schedule indexing is exact.
+    if cfg.ADAM_MOMENT_DTYPE == "float32":
+        _adam = optax.scale_by_adam()  # stock path: bit-identical to r1/r2
+    else:
+        # bf16-stored moments (f32 arithmetic) — halves the optimizer-state
+        # HBM traffic that floors the scaled config's update pass
+        from image_generation_tpu.training.optim import scale_by_adam_moments
+
+        _adam = scale_by_adam_moments(moment_dtype=jnp.dtype(cfg.ADAM_MOMENT_DTYPE))
     dvae_tx = optax.chain(
-        optax.add_decayed_weights(cfg.AUTOENCODER_WEIGHT_DECAY), optax.scale_by_adam()
+        optax.add_decayed_weights(cfg.AUTOENCODER_WEIGHT_DECAY), _adam
     )
     grbm_tx = optax.chain(
         optax.add_decayed_weights(cfg.BM_WEIGHT_DECAY), optax.scale_by_adam()
@@ -196,6 +214,13 @@ def make_train_fns(
     # the chains don't tile the mesh, drop to the XLA sampler, which GSPMD
     # partitions from the chains' sharding on its own.
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
+    if cfg.SAMPLER_MATMUL_DTYPE == "auto":
+        # bf16 pays only when coupling-matrix traffic dominates the cast cost
+        mm_dtype = jnp.bfloat16 if plan.n_pad >= 2048 else None
+    elif cfg.SAMPLER_MATMUL_DTYPE == "float32":
+        mm_dtype = None
+    else:
+        mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
     # graph partitioning (ops/gibbs_graph_sharded.py): coupling rows + spin
     # columns sharded over the mesh's "chain" axis — the beyond-single-chip
     # -HBM regime. Composes with PT: the temperature ladder shards over
@@ -224,11 +249,15 @@ def make_train_fns(
             f"axis fits (e.g. --mesh 1x8 / create_mesh(n, shape=(rows, "
             f"graph))) or use GRAPH_SHARDED='off'."
         )
+    # the auto gate is sized on the coupling's RESIDENT footprint — the
+    # cached sampler_coupling is stored in the matmul dtype (bf16 for
+    # n_pad ≥ 2048, build_sampler_model), not construction-time f32
+    _coupling_itemsize = jnp.dtype(mm_dtype).itemsize if mm_dtype else 4
     graph_sharded = graph_tiles and (
         cfg.GRAPH_SHARDED == "on"
         or (
             cfg.GRAPH_SHARDED == "auto"
-            and plan.n_pad * plan.n_pad * 4 > (2 << 30)
+            and plan.n_pad * plan.n_pad * _coupling_itemsize > (2 << 30)
         )
     )
     if graph_sharded:
@@ -240,14 +269,6 @@ def make_train_fns(
             sampler_impl += "_sharded"
     else:
         sampler_impl = "xla"
-
-    if cfg.SAMPLER_MATMUL_DTYPE == "auto":
-        # bf16 pays only when coupling-matrix traffic dominates the cast cost
-        mm_dtype = jnp.bfloat16 if plan.n_pad >= 2048 else None
-    elif cfg.SAMPLER_MATMUL_DTYPE == "float32":
-        mm_dtype = None
-    else:
-        mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
 
     # PT swap energies in graph-sharded mode go through the reduce_scatter
     # layout — the plain ising_energies under GSPMD is free to all-gather
@@ -264,7 +285,8 @@ def make_train_fns(
                 h_, c_, s_, mesh, matmul_dtype=mm_dtype
             )
 
-    def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0):
+    def sweeps_fn(key, hp, coupling_p, plan_, chains, n_sweeps, beta=1.0,
+                  track_delta_e=False):
         if graph_sharded:
             from image_generation_tpu.ops.gibbs_graph_sharded import (
                 gibbs_sweeps_graph_sharded,
@@ -272,7 +294,7 @@ def make_train_fns(
 
             return gibbs_sweeps_graph_sharded(
                 key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
-                matmul_dtype=mm_dtype,
+                matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
             )
         if pallas_ok and pallas_vmem:
             if pallas_sharded:
@@ -282,10 +304,11 @@ def make_train_fns(
 
                 return gibbs_sweeps_pallas_sharded(
                     key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
-                    matmul_dtype=mm_dtype,
+                    matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
                 )
             return gibbs_sweeps_pallas(
-                key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
+                key, hp, coupling_p, plan_, chains, n_sweeps, beta,
+                matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
             )
         # Large graph: the HBM-streaming kernel holds a chain block's spins
         # resident in VMEM (512-row blocks via manual DMA) and re-streams
@@ -306,30 +329,53 @@ def make_train_fns(
                     key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
                     kernel_fn=gibbs_sweeps_pallas_hbm,
                     block_dtype=mm_dtype or jnp.float32,
+                    track_delta_e=track_delta_e,
                 )
             return gibbs_sweeps_pallas_hbm(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta,
                 block_dtype=mm_dtype or jnp.float32,
+                track_delta_e=track_delta_e,
             )
         return gibbs_sweeps(
-            key, hp, coupling_p, plan_, chains, n_sweeps, beta, matmul_dtype=mm_dtype
+            key, hp, coupling_p, plan_, chains, n_sweeps, beta,
+            matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
         )
 
-    def run_sweeps(key, hp, coupling_p, chains, n_sweeps):
+    _no_energies = lambda: jnp.zeros((0,), jnp.float32)  # non-PT placeholder
+
+    def compute_energies(hp, coupling_p, chains):
+        """(T, C) ladder energies under the current sampler model — only
+        needed when the carried energies are invalid (fresh chains, model
+        just changed).  Graph-sharded mode rides the reduce_scatter layout."""
+        if not pt_mode:
+            return _no_energies()
+        if pt_energies_fn is not None:
+            return pt_energies_fn(hp, coupling_p, chains)
+        return ising_energies(hp, coupling_p, chains, mm_dtype)
+
+    def run_sweeps(key, hp, coupling_p, chains, n_sweeps, energies=None):
         """One negative-phase refresh of the persistent chain state.
 
         Plain mode: ``n_sweeps`` Gibbs sweeps of (NUM_READS, n_pad) chains.
         PT mode (SAMPLER="pt"): chains are a (PT_NUM_BETAS, NUM_READS, n_pad)
         temperature ladder; each refresh is one PT round (n_sweeps Gibbs
         sweeps at every temperature + even/odd replica exchange).
+
+        Returns (chains, energies).  In PT mode ``energies`` carried from the
+        previous refresh (same model, same chains) removes BOTH historical
+        per-round full-ladder energy matmuls: sweeps track ΔE in-kernel and
+        the swap passes permute energies with the configurations; pass
+        ``energies=None`` when the carry is invalid (fresh chains / model
+        changed) — then one energy computation runs after the sweeps.
         """
         if pt_mode:
             return pt_round(
                 key, hp, coupling_p, plan, chains, betas, n_sweeps,
                 sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
                 energies_fn=pt_energies_fn,
+                energies=energies, return_energies=True,
             )
-        return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps)
+        return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps), _no_energies()
 
     def chain_samples(chains):
         """(NUM_READS, n) target-distribution samples in original coords."""
@@ -371,9 +417,10 @@ def make_train_fns(
         return hp, coupling_p
 
     def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):
-        """Fresh-model path (init/generation): builds the model then sweeps."""
+        """Fresh-model path (init/generation): builds the model then sweeps.
+        Returns chains only (carried energies don't outlive this call)."""
         hp, coupling_p = build_sampler_model(grbm_params)
-        return run_sweeps(key, hp, coupling_p, chains, n_sweeps)
+        return run_sweeps(key, hp, coupling_p, chains, n_sweeps)[0]
 
     def init_fn(key: jax.Array, sample_image: jax.Array) -> TrainState:
         """sample_image: (1, S, S, 1) used only for shape-correct init."""
@@ -392,7 +439,7 @@ def make_train_fns(
             ).reshape(cfg.PT_NUM_BETAS, cfg.NUM_READS, plan.n_pad)
         else:
             chains = random_spins(k_chains, plan, cfg.NUM_READS)
-        chains = run_sweeps(k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN)
+        chains, chain_e = run_sweeps(k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN)
         return TrainState(
             dvae_params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -400,6 +447,7 @@ def make_train_fns(
             dvae_opt=dvae_tx.init(variables["params"]),
             grbm_opt=grbm_tx.init(grbm_params),
             chains=chains,
+            chain_energies=chain_e,
             sampler_h=hp,
             sampler_coupling=coupling_p,
             opt_step=jnp.asarray(0, jnp.int32),
@@ -417,12 +465,13 @@ def make_train_fns(
         # (the reference restarts the annealer every call); True (default)
         # is PCD — the working version of its intended sample reuse.
         chains_in = state.chains
+        energies_in = state.chain_energies if (pt_mode and cfg.PERSISTENT_CHAINS) else None
         if not cfg.PERSISTENT_CHAINS:
             flat = random_spins(k_fresh, plan, int(np_prod(chains_in.shape[:-1])))
             chains_in = flat.reshape(chains_in.shape)
-        chains = run_sweeps(
+        chains, chain_e = run_sweeps(
             k_neg1, state.sampler_h, state.sampler_coupling, chains_in,
-            cfg.GIBBS_SWEEPS,
+            cfg.GIBBS_SWEEPS, energies=energies_in,
         )
         samples = jax.lax.stop_gradient(chain_samples(chains))
 
@@ -456,10 +505,14 @@ def make_train_fns(
         data_spins = jax.lax.stop_gradient(flat_spins)
 
         def grbm_branch(op):
-            grbm_params, grbm_opt, chains_in, hp, coupling_p = op
+            grbm_params, grbm_opt, chains_in, chain_e_in, hp, coupling_p = op
             # negative phase #2 — the reference's second QPU call per
-            # scheduled step (inside nll_loss, src/losses.py:50-57)
-            chains2 = run_sweeps(k_neg2, hp, coupling_p, chains_in, cfg.GIBBS_SWEEPS)
+            # scheduled step (inside nll_loss, src/losses.py:50-57); the
+            # carried energies from phase #1 are valid (same model/chains)
+            chains2, chain_e2 = run_sweeps(
+                k_neg2, hp, coupling_p, chains_in, cfg.GIBBS_SWEEPS,
+                energies=chain_e_in if pt_mode else None,
+            )
             model_spins = chain_samples(chains2)
             grads = nll_grads(graph, data_spins, model_spins)
             updates, opt2 = grbm_tx.update(grads, grbm_opt, grbm_params)
@@ -467,17 +520,30 @@ def make_train_fns(
             new_params = jax.tree.map(lambda p, u: p - lr_g * u, grbm_params, updates)
             nll = nll_value(grbm_params, graph, data_spins, model_spins)
             hp2, coupling_p2 = build_sampler_model(new_params)  # refresh cache
-            return new_params, opt2, chains2, hp2, coupling_p2, nll
+            # energies are model-dependent: re-anchor under the NEW model
+            # (one ladder energy computation per scheduled GRBM step — this
+            # also bounds the ΔE-carry float drift to ≤10 steps while the
+            # GRBM trains, and the model is frozen afterwards)
+            chain_e2 = compute_energies(hp2, coupling_p2, chains2)
+            return new_params, opt2, chains2, chain_e2, hp2, coupling_p2, nll
 
         def no_grbm(op):
-            grbm_params, grbm_opt, chains_in, hp, coupling_p = op
-            return grbm_params, grbm_opt, chains_in, hp, coupling_p, jnp.asarray(0.0, jnp.float32)
+            grbm_params, grbm_opt, chains_in, chain_e_in, hp, coupling_p = op
+            return (
+                grbm_params, grbm_opt, chains_in, chain_e_in, hp, coupling_p,
+                jnp.asarray(0.0, jnp.float32),
+            )
 
-        grbm_params, grbm_opt, chains, sampler_h, sampler_coupling, nll = jax.lax.cond(
+        (
+            grbm_params, grbm_opt, chains, chain_e, sampler_h, sampler_coupling, nll,
+        ) = jax.lax.cond(
             train_grbm,
             grbm_branch,
             no_grbm,
-            (state.grbm_params, state.grbm_opt, chains, state.sampler_h, state.sampler_coupling),
+            (
+                state.grbm_params, state.grbm_opt, chains, chain_e,
+                state.sampler_h, state.sampler_coupling,
+            ),
         )
 
         new_state = TrainState(
@@ -487,6 +553,7 @@ def make_train_fns(
             dvae_opt=dvae_opt,
             grbm_opt=grbm_opt,
             chains=chains,
+            chain_energies=chain_e,
             sampler_h=sampler_h,
             sampler_coupling=sampler_coupling,
             opt_step=state.opt_step + 1,
@@ -532,18 +599,38 @@ def make_train_fns(
             )
             hp, coupling_p = build_sampler_model(grbm_params)
             n_rounds = max(1, n_sweeps // max(cfg.GIBBS_SWEEPS, 1))
+            # ladder energies computed once, then carried through every round
+            e0 = compute_energies(hp, coupling_p, ladder)
 
-            def round_fn(s, k):
+            def round_fn(carry, k):
+                s, e = carry
                 return pt_round(
                     k, hp, coupling_p, plan, s, betas, cfg.GIBBS_SWEEPS,
                     sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
                     energies_fn=pt_energies_fn,
+                    energies=e, return_energies=True,
                 ), None
 
-            ladder, _ = jax.lax.scan(round_fn, ladder, jax.random.split(k2, n_rounds))
+            (ladder, _), _ = jax.lax.scan(
+                round_fn, (ladder, e0), jax.random.split(k2, n_rounds)
+            )
             return to_original(plan, ladder[-1])
         chains = random_spins(k1, plan, num_reads)
         return to_original(plan, refresh_chains(k2, grbm_params, chains, n_sweeps))
+
+    @jax.jit
+    def rebuild_cache(state: TrainState) -> TrainState:
+        """Recompute ONLY the derived sampler cache (sampler_h,
+        sampler_coupling) from the state's grbm_params — deterministic, so a
+        checkpoint that stripped the cache (io/native_ckpt.py saves
+        non-derivable state only) restores bit-exactly.  Unlike
+        ``rebuild_sampler`` this does NOT re-burn the chains: the restored
+        chains were equilibrated against these very parameters.  In
+        graph-sharded mode the jit honors build_sampler_model's sharding
+        constraint, so the coupling is reconstructed row-sharded and never
+        materialized whole."""
+        hp, coupling_p = build_sampler_model(state.grbm_params)
+        return state.replace(sampler_h=hp, sampler_coupling=coupling_p)
 
     @jax.jit
     def rebuild_sampler(state: TrainState) -> TrainState:
@@ -553,9 +640,12 @@ def make_train_fns(
         under the new model (they were equilibrated against the old one)."""
         hp, coupling_p = build_sampler_model(state.grbm_params)
         rng, k_burn = jax.random.split(state.rng)
-        chains = run_sweeps(k_burn, hp, coupling_p, state.chains, cfg.GIBBS_BURN_IN)
+        chains, chain_e = run_sweeps(
+            k_burn, hp, coupling_p, state.chains, cfg.GIBBS_BURN_IN
+        )
         return state.replace(
-            sampler_h=hp, sampler_coupling=coupling_p, chains=chains, rng=rng
+            sampler_h=hp, sampler_coupling=coupling_p, chains=chains,
+            chain_energies=chain_e, rng=rng,
         )
 
     if graph_sharded:
@@ -568,6 +658,7 @@ def make_train_fns(
 
     return TrainStepFns(
         cfg, graph, dvae, init_fn, step_fn, epoch_fn, sample_fn, step_body,
-        rebuild_sampler, dvae_lr=dvae_lr, grbm_lr=grbm_lr,
+        rebuild_sampler, rebuild_cache=rebuild_cache,
+        dvae_lr=dvae_lr, grbm_lr=grbm_lr,
         sampler_impl=sampler_impl, graph_sharded=graph_sharded,
     )

@@ -300,6 +300,11 @@ class Trainer:
             # extra key (ignored by the reference app): lets the UI draw the
             # latent graph at its physical QPU coordinates after a load
             parameters["physical_nodes"] = [int(p) for p in self.physical_nodes]
+        if self.data_source is not None:
+            # extra key (ignored by the reference app): which dataset
+            # actually trained this model (utils/data.DataSource.origin) —
+            # shown in the UI's model-data card
+            parameters["data_source"] = self.data_source.origin
         return save_model_dir(
             file_path,
             self.state.dvae_params,
@@ -361,7 +366,14 @@ class Trainer:
 
         if not self._init_done:
             self.train_init(n_epochs)
-        self.state = self._shard(restore_train_state(directory, self.state))
+        # the checkpoint stores non-derivable state only; rebuild_cache
+        # recomputes (sampler_h, sampler_coupling) from the restored
+        # grbm_params bit-exactly (and row-sharded in graph-sharded mode)
+        self.state = self._shard(
+            restore_train_state(
+                directory, self.state, rebuild_cache=self.fns.rebuild_cache
+            )
+        )
         step = latest_step(directory)
         losses_file = _Path(directory) / f"losses_step_{step:08d}.json"
         if losses_file.exists():

@@ -102,6 +102,24 @@ def test_latent_strip_fallback():
     assert svg.count("<rect") == 6
 
 
+def test_model_data_card():
+    from image_generation_tpu.app.render import model_data_html
+
+    meta = {
+        "qpu": "Advantage2_system1", "n_epochs": 10, "n_latents": 256,
+        "batch_size": 128, "data_source": "mnist-idx",
+    }
+    html = model_data_html(meta)
+    # two flex columns, reference field order (demo_interface.py:186-199)
+    assert html.startswith('<div class="model-details">')
+    assert html.index("QPU") < html.index("Epochs") < html.index("Latents")
+    assert "<b>Batch Size: </b>128" in html
+    assert "mnist-idx" in html
+    # missing keys render an em-dash, not a crash; no origin → no data line
+    html2 = model_data_html({"qpu": "x<y"})
+    assert "—" in html2 and "x&lt;y" in html2 and "data-origin" not in html2
+
+
 def test_problem_details_table():
     details = {"QPU": "Advantage2_system1", "Epoch": "3/10", "MSE <Loss>": 0.07}
     html = problem_details_html(details)

@@ -58,6 +58,108 @@ def test_native_resume_is_exact(tmp_path):
     assert t3.losses["mse_losses"] == t1.losses["mse_losses"]
 
 
+def test_native_ckpt_excludes_derived_sampler_cache(tmp_path):
+    """Checkpoint bytes must be ∝ params+opt+chains: the derived
+    (sampler_h, sampler_coupling) cache — the state's biggest buffer — is
+    stripped at save and rebuilt bit-exactly on restore (VERDICT r2 item 2;
+    reference contrast: weights-only save, src/model_wrapper.py:148-162)."""
+    from image_generation_tpu.io.native_ckpt import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    t = Trainer(config=cfg(SAMPLER="pt", PT_NUM_BETAS=4))
+    t.train_init(n_epochs=1)
+    t.train_epoch(0)
+    state = t.state
+
+    p_slim = save_train_state(tmp_path / "slim", state)
+    # structural check (on-disk byte counts are compression-dependent): the
+    # serialized tree must carry NO array for the derived cache while every
+    # non-derivable leaf is present
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(p_slim)
+    assert raw["sampler_coupling"] is None and raw["sampler_h"] is None
+    for key in ("chains", "chain_energies", "dvae_params", "dvae_opt",
+                "grbm_params", "grbm_opt", "rng", "opt_step"):
+        assert raw[key] is not None, f"non-derivable leaf {key} missing"
+
+    # restore rebuilds the cache bit-exactly and the resumed step matches
+    t2 = Trainer(config=cfg(SAMPLER="pt", PT_NUM_BETAS=4))
+    t2.train_init(n_epochs=1)
+    r = restore_train_state(
+        tmp_path / "slim", t2.state, rebuild_cache=t2.fns.rebuild_cache
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r.sampler_h), np.asarray(state.sampler_h)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r.sampler_coupling).astype(np.float32),
+        np.asarray(state.sampler_coupling).astype(np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r.chain_energies), np.asarray(state.chain_energies)
+    )
+
+
+def test_native_resume_shardings_on_mesh(tmp_path):
+    """Resume on the 8-device mesh: the restored state must carry the same
+    shardings as a fresh run (chains over the mesh, params replicated) and
+    produce an identical next epoch (VERDICT r2 item 2a)."""
+    from jax.sharding import PartitionSpec as P
+
+    t1 = Trainer(config=cfg())  # mesh="auto" → the 8-device CPU mesh
+    assert t1.mesh is not None
+    t1.train_init(n_epochs=2)
+    t1.train(2, checkpoint_dir=tmp_path / "ck")
+
+    t2 = Trainer(config=cfg())
+    t2.train_init(n_epochs=2)
+    t2.resume_native(tmp_path / "ck", n_epochs=2)
+    assert t2.state.chains.sharding.spec == P(("data", "chain"))
+    assert t2.state.sampler_coupling.sharding.spec == P()  # replicated
+    assert t2.state.opt_step == t1.state.opt_step
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.chains), np.asarray(t1.state.chains)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.sampler_coupling), np.asarray(t1.state.sampler_coupling)
+    )
+
+
+def test_graph_sharded_native_resume(tmp_path):
+    """Graph-sharded save/resume: the restored coupling must come back
+    P('chain', None)-row-sharded — rebuilt under the jitted sharding
+    constraint, never materialized whole (VERDICT r2 item 2b)."""
+    from jax.sharding import PartitionSpec as P
+
+    from image_generation_tpu.parallel.mesh import create_mesh
+
+    gs_cfg = cfg(GRAPH_SHARDED="on", SAMPLER="pt", PT_NUM_BETAS=4)
+    t1 = Trainer(config=gs_cfg, mesh=create_mesh(8))
+    t1.train_init(n_epochs=1)
+    assert t1.fns.graph_sharded
+    t1.train_epoch(0)
+    t1.save_native(tmp_path / "gs")
+
+    t2 = Trainer(config=gs_cfg, mesh=create_mesh(8))
+    t2.train_init(n_epochs=1)
+    t2.resume_native(tmp_path / "gs", n_epochs=1)
+    assert t2.state.sampler_coupling.sharding.spec in (P("chain"), P("chain", None))
+    assert t2.state.chains.sharding.spec == P("data", None, "chain")
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.chains), np.asarray(t1.state.chains)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.sampler_coupling).astype(np.float32),
+        np.asarray(t1.state.sampler_coupling).astype(np.float32),
+    )
+    # and the resumed trainer can keep training
+    stats = t2.train_epoch(0)
+    assert np.isfinite(stats["mse"])
+
+
 def test_gumbel_mode_trains():
     t = Trainer(config=cfg(LATENT_TO_DISCRETE="gumbel", GUMBEL_TAU=0.7))
     t.train_init(n_epochs=1)

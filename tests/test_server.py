@@ -58,6 +58,21 @@ def test_page_and_state(server):
     assert st["latest_epoch"] is None
 
 
+def test_plain_view_idle(server):
+    """The zero-JS /plain view renders for a fresh workdir (idle job, no
+    artifacts) with a meta refresh and no script tags at all."""
+    srv, port, _ = server
+    status, body = _get(port, "/plain")
+    assert status == 200
+    html = body.decode()
+    assert "<script" not in html
+    assert 'http-equiv="refresh"' in html
+    assert "job: idle" in html
+    # main page advertises it for script-less browsers
+    _, main = _get(port, "/")
+    assert "<noscript>" in main.decode() and "/plain" in main.decode()
+
+
 def test_models_and_figure_endpoints(server):
     srv, port, tmp = server
     status, body = _get(port, "/api/models")
@@ -73,6 +88,33 @@ def test_models_and_figure_endpoints(server):
     status, body = _get(port, "/api/figure/loss_mse/0")
     assert status == 200
     assert json.loads(body)["data"][0]["y"] == [1.0]
+
+
+def test_model_data_html_endpoint(server):
+    """The selected-model data card (reference generate_model_data,
+    demo_interface.py:179-202): server-rendered from parameters.json with
+    the QPU/Epochs/Latents/Batch fields + dataset origin."""
+    srv, port, tmp = server
+    # unknown → 404
+    status, body = _get(port, "/api/model_data_html/nope")
+    assert status == 404
+    # invalid name → 404 (never joined into a path)
+    status, _ = _get(port, "/api/model_data_html/..")
+    assert status == 404
+    # plant a model directory with reference-schema parameters.json
+    mdir = tmp / "models" / "card_model"
+    mdir.mkdir(parents=True)
+    (mdir / "parameters.json").write_text(json.dumps({
+        "n_latents": 64, "n_epochs": 7, "qpu": "Advantage2_system1",
+        "batch_size": 128, "data_source": "sklearn-digits-upsampled",
+    }))
+    status, body = _get(port, "/api/model_data_html/card_model")
+    assert status == 200
+    html = json.loads(body)["html"]
+    for frag in ("QPU", "Advantage2_system1", "Epochs", "7", "Latents", "64",
+                 "Batch Size", "128", "sklearn-digits-upsampled"):
+        assert frag in html, f"model-data card missing {frag!r}: {html}"
+    assert 'class="model-details"' in html
 
 
 def test_generate_unknown_model_404(server):
@@ -226,6 +268,24 @@ def test_background_train_job(server):
     _, body = _get(port, "/api/problem_details")
     details = json.loads(body)
     assert details["Epoch"] == "1/1" and "Learning rate DVAE" in details
+
+    # --- zero-JS fallback view: the complete train→rendered-figures loop
+    # is drivable with no script execution (/plain is pure server-side
+    # HTML behind a meta refresh) ---
+    import re as _re
+
+    status, body = _get(port, "/plain")
+    assert status == 200
+    plain = body.decode()
+    assert "job: done" in plain and "Epoch 0" in plain
+    assert "Epochs Completed: 1/1" in plain
+    assert 'class="problem-details-table"' in plain  # details table inline
+    assert 'class="model-details"' in plain  # model data card inline
+    srcs = _re.findall(r'src="([^"]+)"', plain)
+    assert len(srcs) == 4  # generated, reconstructed, 2 loss curves
+    for src in srcs:
+        s, b = _get(port, src)
+        assert s == 200 and len(b) > 100, f"{src} did not render"
 
     # --- model-switch refresh job (check_qpu_and_update_model parity) ---
     step2 = tmp / "assets" / "model_diagram" / "step_2_encode.png"
