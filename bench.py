@@ -100,6 +100,14 @@ def main():
     )
     ap.add_argument("--steps", type=int, default=None, help="timed steps")
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--adam-moment-dtype",
+        choices=("float32", "bfloat16"),
+        default=None,
+        help="storage dtype of the DVAE Adam moments (ADAM_MOMENT_DTYPE); "
+        "bfloat16 halves the optimizer-state HBM traffic of the scaled "
+        "config's 127M-param dense layer",
+    )
     args = ap.parse_args()
 
     from image_generation_tpu.config import TrainingConfig
@@ -148,6 +156,9 @@ def main():
         # (observed: 32-step scans swing 66-87k img/s between sessions;
         # the per-step compute is identical).
         steps = args.steps or 468
+
+    if args.adam_moment_dtype:
+        cfg = cfg.replace(ADAM_MOMENT_DTYPE=args.adam_moment_dtype)
 
     if full is None:
         from image_generation_tpu.utils.graph_cache import cached_latent_graph

@@ -119,14 +119,39 @@ header h1 {{ margin: 0; font-size: 20px; }}
 label {{ display: block; margin: 10px 0 2px; font-size: 13px; color: #333; }}
 input, select {{ width: 100%; box-sizing: border-box; padding: 6px; }}
 input.invalid {{ border: 1px solid #c0392b; outline: none; }}
+/* theme-colored sliders (reference assets/_slider.css: theme-secondary
+   track + handle, brightness shift on hover/drag) */
+input[type=range] {{ accent-color: var(--theme2); padding: 0; }}
+input[type=range]::-webkit-slider-thumb {{ transition: filter .1s ease-in-out; }}
+input[type=range]:hover::-webkit-slider-thumb,
+input[type=range]:active::-webkit-slider-thumb {{ filter: brightness(80%); }}
+input[type=range]::-moz-range-thumb {{ border-color: var(--theme2);
+  transition: filter .1s ease-in-out; }}
+input[type=range]::-moz-range-track {{ background-color: var(--theme2); }}
 .help-text {{ color: #c0392b; font-size: 12px; margin-top: 2px; }}
 button {{ background: var(--theme); color: #fff; border: 0; border-radius: 4px;
          padding: 10px 18px; margin-top: 14px; cursor: pointer; }}
 button.secondary {{ background: var(--theme2); }}
 button:disabled {{ background: #aaa; }}
-.tabs {{ display: flex; gap: 4px; margin-bottom: 10px; }}
-.tabs div {{ padding: 8px 14px; cursor: pointer; border-bottom: 3px solid transparent; }}
-.tabs div.active {{ border-color: var(--theme2); font-weight: 600; }}
+/* top-rounded selected tab sitting on a theme-secondary rule (reference
+   assets/_tabs.css: .tab-container / div.tab.tab--selected) */
+.tabs {{ display: flex; gap: 4px; margin-bottom: 10px;
+  border-bottom: 3px solid var(--theme2); }}
+.tabs div {{ padding: 8px 14px; cursor: pointer; margin-bottom: -3px;
+  border: 3px solid transparent; border-bottom: none;
+  border-radius: 6px 6px 0 0; }}
+.tabs div.active {{ border-color: var(--theme2); background: #fff;
+  cursor: default; font-weight: 600; box-shadow: 0 6px 0 -3px #fff; }}
+/* collapsible sections (reference assets/_collapse.css:
+   left-column-collapse / details-collapse, 0.6s ease-in-out) */
+details.collapse > summary {{ cursor: pointer; font-weight: 600;
+  font-size: 13px; color: #333; margin: 4px 0; user-select: none; }}
+details.collapse > .collapse-body {{ overflow: hidden; }}
+details.collapse[open] > .collapse-body {{
+  animation: expand-collapse .6s ease-in-out; }}
+@keyframes expand-collapse {{
+  from {{ max-height: 0; opacity: .3; }}
+  to {{ max-height: 100vh; opacity: 1; }} }}
 progress {{ width: 100%; height: 14px; }}
 .progress-caption {{ font-size: 12px; color: #333; }}
 img.fig {{ image-rendering: pixelated; width: 100%; background: #fff; border: 1px solid #eee; }}
@@ -146,7 +171,8 @@ table.problem-details-table th {{ background: #f0f4f8; }}
 
 
 _PAGE = """<!doctype html>
-<html><head><meta charset="utf-8"><title>{title}</title><style>{css}</style></head>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<link rel="icon" href="/favicon.ico"><style>{css}</style></head>
 <body>
 <noscript><div style="padding:8px;background:#fff3cd">JavaScript is disabled —
 use the <a href="/plain">server-rendered status view</a> (auto-refreshing, no
@@ -154,6 +180,9 @@ scripts).</div></noscript>
 <header><h1>{header}</h1><div style="font-size:12px">{description}</div></header>
 <div class="wrap">
   <div class="panel settings">
+    <details class="collapse" id="settings-collapse" open>
+    <summary>Settings</summary>
+    <div class="collapse-body">
     <div class="tabs" id="settings-tabs">
       <div class="active" data-tab="train">Train</div>
       <div data-tab="generate">Generate</div>
@@ -181,6 +210,8 @@ scripts).</div></noscript>
       <button id="gen-btn" onclick="startGenerate()">Generate</button>
       <button class="secondary" onclick="startTune()">Tune Parameters</button>
     </div>
+    </div>
+    </details>
     <button class="secondary" id="cancel-btn" onclick="cancelJob()" disabled>Cancel</button>
     <progress id="prog" value="0" max="1"></progress>
     <div class="progress-caption" id="prog-epoch"></div>
@@ -199,14 +230,18 @@ scripts).</div></noscript>
     <div id="res-loss" style="display:none">
       <img class="plot" id="img-mse" alt="MSE loss"><img class="plot" id="img-total" alt="total loss">
     </div>
-    <div id="problem-details"></div>
+    <details class="collapse" id="problem-details-collapse" open>
+    <summary>Problem details</summary>
+    <div class="collapse-body"><div id="problem-details"></div></div>
+    </details>
     <div id="res-diagram" style="display:none">
       <div>
         <img class="diagram" id="d1" alt="input"> →
         <img class="diagram" id="d2" alt="encode"> →
         <img id="latent-strip" alt="latent ±1 vector" style="height:44px;vertical-align:middle"> →
         <img class="diagram" id="d4" alt="decode"> →
-        <img class="diagram" id="d5" alt="output">
+        <img class="diagram" id="d5" alt="output"
+             src="/assets/model_diagram/step_5_output_default.png">
       </div>
       <div style="display:flex;gap:8px;margin-top:8px">
         <div style="flex:1"><div style="font-size:12px">Encoded latent on QPU graph</div>
@@ -383,6 +418,7 @@ def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
 
     out = [
         "<!doctype html><html><head><meta charset=\"utf-8\">",
+        '<link rel="icon" href="/favicon.ico">',
         '<meta http-equiv="refresh" content="2">',
         f"<title>{_h.escape(ui_config.APP_TITLE)} — status</title>",
         f"<style>{_theme_css()}</style></head><body>",
@@ -436,6 +472,16 @@ def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
     out.append('<div class="status"><a href="/">interactive view</a></div>')
     out.append("</div></div></body></html>")
     return "".join(out)
+
+
+def _favicon() -> bytes:
+    """The app icon (reference ships assets/favicon.ico, served by dash's
+    static pipeline); ours is generated by scripts/make_favicon.py."""
+    p = Path(__file__).parent / "static" / "favicon.ico"
+    try:
+        return p.read_bytes()
+    except OSError:
+        return b""
 
 
 def make_server(
@@ -530,6 +576,11 @@ def make_server(
                     _render_plain_page(jobs, files, workdir).encode(),
                     "text/html; charset=utf-8",
                 )
+            if url.path == "/favicon.ico":
+                ico = _favicon()
+                if not ico:
+                    return self._json({"error": "not found"}, 404)
+                return self._bytes(ico, "image/x-icon")
             if url.path == "/api/state":
                 progress = files.read_progress()
                 latest = None
@@ -603,6 +654,14 @@ def make_server(
                 if f.is_file() and f.resolve().is_relative_to(workdir):
                     ctype = "image/png" if f.suffix == ".png" else "application/json"
                     return self._bytes(f.read_bytes(), ctype)
+                # pre-model placeholder shipped with the package (reference:
+                # assets/model_diagram/step_5_output_default.png, shown in
+                # the diagram's output slot until a model renders —
+                # demo_interface.py:608)
+                if parts[1:] == ["model_diagram", "step_5_output_default.png"]:
+                    p = Path(__file__).parent / "static" / parts[-1]
+                    if p.is_file():
+                        return self._bytes(p.read_bytes(), "image/png")
             self._json({"error": "not found"}, 404)
 
         # ---------------- POST ----------------

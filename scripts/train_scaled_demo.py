@@ -36,6 +36,13 @@ def main(argv=None):
         "--tiny", action="store_true",
         help="Zephyr-4 graph instead of Pegasus-16 (CPU smoke test)",
     )
+    ap.add_argument(
+        "--adam-moment-dtype",
+        choices=("float32", "bfloat16"),
+        default="float32",
+        help="ADAM_MOMENT_DTYPE for the DVAE optimizer — run once with each "
+        "and compare the loss curves (VERDICT r2 item 3 convergence check)",
+    )
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -55,6 +62,7 @@ def main(argv=None):
         PT_BETA_MIN=0.2,
         GIBBS_SWEEPS=4,
         GIBBS_BURN_IN=4,
+        ADAM_MOMENT_DTYPE=args.adam_moment_dtype,
     )
     if args.tiny:
         cfg = cfg.replace(QPU="Advantage2_prototype", N_LATENTS=64, PT_NUM_BETAS=4)
@@ -87,6 +95,7 @@ def main(argv=None):
             "edges": trainer.graph.n_edges, "batch": cfg.BATCH_SIZE,
             "replicas": cfg.N_REPLICAS, "sampler": cfg.SAMPLER,
             "pt_betas": cfg.PT_NUM_BETAS, "reads": cfg.NUM_READS,
+            "adam_moment_dtype": cfg.ADAM_MOMENT_DTYPE,
             "dataset": trainer.data_source.origin,
         },
         "epochs": epochs,

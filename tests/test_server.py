@@ -228,6 +228,49 @@ def test_page_has_validation_and_captions(server):
         assert ph not in html  # no unformatted placeholders
 
 
+def test_favicon_and_collapse_sections(server):
+    """Reference cosmetic parity: favicon.ico asset + collapsible settings /
+    problem-details sections (reference assets/favicon.ico, _collapse.css)."""
+    import struct
+
+    srv, port, _ = server
+    status, body = _get(port, "/favicon.ico")
+    assert status == 200
+    rsv, typ, n = struct.unpack("<HHH", body[:6])
+    assert (rsv, typ, n) == (0, 1, 1)  # valid single-image ICO
+    w, h, _pal, _rsv, _planes, bpp, size, off = struct.unpack(
+        "<BBBBHHII", body[6:22]
+    )
+    assert (w, h, bpp) == (16, 16, 32) and off + size == len(body)
+
+    for path in ("/", "/plain"):
+        _, page = _get(port, path)
+        assert b'rel="icon" href="/favicon.ico"' in page
+    _, page = _get(port, "/")
+    html = page.decode()
+    assert 'id="settings-collapse" open' in html
+    assert 'id="problem-details-collapse" open' in html
+    # the collapsibles are plain <details> — they must wrap, not replace,
+    # the JS-addressed nodes
+    assert html.count("<details") == html.count("</details>") == 2
+
+
+def test_default_output_placeholder(server):
+    """The diagram's output slot starts at the packaged placeholder until a
+    model renders (reference demo_interface.py:608, STEP_5_FILE_DEFAULT)."""
+    srv, port, tmp = server
+    status, body = _get(port, "/assets/model_diagram/step_5_output_default.png")
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+    _, page = _get(port, "/")
+    assert b'src="/assets/model_diagram/step_5_output_default.png"' in page
+    # a workdir copy (e.g. written by a refresh job) takes precedence
+    d = tmp / "assets" / "model_diagram"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "step_5_output_default.png").write_bytes(b"\x89PNG\r\n\x1a\nxx")
+    status, body = _get(port, "/assets/model_diagram/step_5_output_default.png")
+    assert status == 200 and body.endswith(b"xx")
+
+
 @pytest.mark.slow
 def test_background_train_job(server):
     """Full job lifecycle through the web surface (tiny run)."""
