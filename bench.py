@@ -86,6 +86,8 @@ def analytic_flops_per_step(cfg, plan) -> dict:
         "dvae": model_total,
         "mmd": mmd,
         "sweeps": sweeps,
+        "enc_fwd_per_image": enc,
+        "dec_fwd_per_replica": dec,
     }
 
 

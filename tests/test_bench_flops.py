@@ -1,0 +1,78 @@
+"""Guard bench.py's analytic FLOPs/MFU accounting (VERDICT r2 item 5).
+
+The headline throughput numbers carry a roofline context derived from
+``bench.analytic_flops_per_step``; these tests pin its scaling behavior and
+cross-check the dominant decoder term against a measured XLA cost analysis
+so the MFU line can't silently drift from the model it describes.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+from bench import analytic_flops_per_step
+from image_generation_tpu.config import TrainingConfig
+
+
+class _Plan:
+    def __init__(self, n_pad):
+        self.n_pad = n_pad
+
+
+def _cfg(**kw):
+    base = dict(N_LATENTS=256, BATCH_SIZE=128, N_REPLICAS=8, NUM_READS=256,
+                GIBBS_SWEEPS=16)
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def test_components_positive_and_sum():
+    fl = analytic_flops_per_step(_cfg(), _Plan(256))
+    assert fl["dvae"] > 0 and fl["mmd"] > 0 and fl["sweeps"] > 0
+    assert fl["total"] == fl["dvae"] + fl["mmd"] + fl["sweeps"]
+
+
+def test_scaling_knobs():
+    p = _Plan(256)
+    base = analytic_flops_per_step(_cfg(), p)
+    # DVAE flops scale linearly with batch; sweeps don't depend on it
+    double_b = analytic_flops_per_step(_cfg(BATCH_SIZE=256), p)
+    assert double_b["dvae"] == 2 * base["dvae"]
+    assert double_b["sweeps"] == base["sweeps"]
+    # sweeps scale linearly in GIBBS_SWEEPS and quadratically in n_pad
+    double_s = analytic_flops_per_step(_cfg(GIBBS_SWEEPS=32), p)
+    assert double_s["sweeps"] == 2 * base["sweeps"]
+    double_n = analytic_flops_per_step(_cfg(), _Plan(512))
+    assert double_n["sweeps"] == 4 * base["sweeps"]
+    # PT multiplies chains by the ladder — and adds NO energy matmuls
+    # (carried ladder energies, ops/gibbs.py pt_round)
+    pt = analytic_flops_per_step(
+        _cfg(SAMPLER="pt", PT_NUM_BETAS=32, NUM_READS=64), p
+    )
+    gibbs_64 = analytic_flops_per_step(_cfg(NUM_READS=64), p)
+    assert pt["sweeps"] == 32 * gibbs_64["sweeps"]
+
+
+def test_decoder_term_matches_xla_cost_analysis():
+    """The dominant DVAE forward term agrees with XLA's own FLOP count for
+    the real decoder apply (within the slack of XLA fusing pads/strides)."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_generation_tpu.models.decoder import Decoder
+
+    n = 64
+    dec = Decoder(n_latents=n)
+    x = jnp.zeros((1, 1, n))  # (B, R, n_latents)
+    params = dec.init(jax.random.PRNGKey(0), x)
+    analyzed = jax.jit(dec.apply).lower(params, x).compile().cost_analysis()
+    xla_flops = analyzed["flops"] if isinstance(analyzed, dict) else analyzed[0]["flops"]
+
+    cfg = _cfg(N_LATENTS=n, BATCH_SIZE=1, N_REPLICAS=1)
+    fl = analytic_flops_per_step(cfg, _Plan(n))
+    # XLA's count omits the implicit-pad halo MACs of SAME convs at tiny
+    # spatial sizes, so it sits somewhat under the analytic dense count
+    assert xla_flops == pytest.approx(fl["dec_fwd_per_replica"], rel=0.35)
