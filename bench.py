@@ -24,6 +24,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 50_000.0
 
@@ -91,6 +92,82 @@ def analytic_flops_per_step(cfg, plan) -> dict:
     }
 
 
+def bench_generate(args, cfg, fns, plan, state, metric_prefix):
+    """Serving-path bench: GRBM negative-phase sample → decoder → images.
+
+    The reference serves one generation request per annealer cloud
+    round-trip (src/model_wrapper.py:369-385 — seconds of network per 256
+    images); here the whole request is one XLA program.  Two numbers:
+
+      * single-request latency — jitted sample+decode plus the device→host
+        fetch of the decoded batch (what one server request costs);
+      * scanned throughput — ``--steps`` requests fused into one dispatch
+        (``lax.scan``), value-fetch synced: the relay's ~30-50 ms dispatch
+        latency amortized away, i.e. the device speed of light.
+    """
+    dvae = fns.dvae
+    n_sweeps = cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS
+    reads = cfg.NUM_READS
+    reps = args.steps or 32
+
+    def request(k, params, batch_stats, grbm_params):
+        spins = fns.sample(k, grbm_params, reads, n_sweeps)
+        imgs = dvae.apply(
+            {"params": params, "batch_stats": batch_stats},
+            spins[:, None, :], train=False, method=dvae.decode,
+        )
+        return jnp.clip(imgs[:, 0], 0.0, 1.0)
+
+    @jax.jit
+    def serve_many(key, params, batch_stats, grbm_params):
+        def body(acc, k):
+            imgs = request(k, params, batch_stats, grbm_params)
+            return acc + imgs[0, 0, 0, 0], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, reps))
+        return acc
+
+    request_j = jax.jit(request)
+    p, bs, gp = state.dvae_params, state.batch_stats, state.grbm_params
+
+    t0 = time.perf_counter()
+    np.asarray(request_j(jax.random.PRNGKey(1), p, bs, gp))
+    log(f"single request compile+run: {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    np.asarray(request_j(jax.random.PRNGKey(2), p, bs, gp))
+    lat_ms = (time.perf_counter() - t0) * 1e3
+    log(f"single request ({reads} images: {n_sweeps}-sweep sample + decode + "
+        f"host image fetch): {lat_ms:.1f} ms")
+
+    t0 = time.perf_counter()
+    float(serve_many(jax.random.PRNGKey(3), p, bs, gp))
+    log(f"scan compile+run ({reps} requests): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    float(serve_many(jax.random.PRNGKey(4), p, bs, gp))
+    dt = time.perf_counter() - t0
+    imgs_per_sec = reps * reads / dt
+    log(f"{reps} fused requests in {dt:.3f}s → {imgs_per_sec:,.0f} images/sec "
+        f"({dt / reps * 1e3:.2f} ms/request on device)")
+
+    fl = analytic_flops_per_step(cfg, plan)
+    chains = reads * (cfg.PT_NUM_BETAS if cfg.SAMPLER == "pt" else 1)
+    per_req = (
+        reads * fl["dec_fwd_per_replica"]
+        + 2 * chains * plan.n_pad * plan.n_pad * n_sweeps
+    )
+    log(f"analytic/request: {per_req / 1e9:.2f} GF → "
+        f"{per_req * reps / dt / 1e12:.2f} TFLOP/s scanned")
+
+    print(json.dumps({
+        "metric": f"{metric_prefix}generate_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec",
+        "vs_baseline": None,  # reference = 1 annealer round-trip per request
+        "request_latency_ms": round(lat_ms, 2),
+        "reads_per_request": reads,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small shapes, CPU-friendly")
@@ -102,6 +179,15 @@ def main():
     )
     ap.add_argument("--steps", type=int, default=None, help="timed steps")
     ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument(
+        "--generate",
+        action="store_true",
+        help="bench the SERVING path instead of training: GRBM sample → "
+        "decode (the reference's generate_output, src/model_wrapper.py:"
+        "355-399, which costs one annealer cloud round-trip per call). "
+        "Reports a fused scanned-batch throughput (speed of light) and the "
+        "single-request latency incl. host image fetch",
+    )
     ap.add_argument(
         "--adam-moment-dtype",
         choices=("float32", "bfloat16"),
@@ -196,6 +282,11 @@ def main():
     state = fns.init(key, images[:1])
     jax.block_until_ready(state.chains)
     log(f"init+burn-in: {time.perf_counter() - t0:.2f}s")
+
+    if args.generate:
+        prefix = "scaled_" if args.scaled else ("quick_" if args.quick else "")
+        bench_generate(args, cfg, fns, fns_plan, state, prefix)
+        return
 
     # warmup/compile at the EXACT timed shape (a different scan length would
     # trigger a full recompile and pollute the measurement)
