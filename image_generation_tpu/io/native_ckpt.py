@@ -84,7 +84,15 @@ def restore_train_state(directory, template, step: Optional[int] = None,
     (bit-exact: the cache is a deterministic jitted function of the params).
     When omitted, the returned state carries ``None`` in those fields and the
     caller must rebuild before stepping.
+
+    Restoration is **topology-independent**: every leaf is restored directly
+    into the TEMPLATE's sharding (the current process's mesh placement), not
+    the sharding recorded in the checkpoint file — a state saved on an
+    8-device mesh restores on one chip (serving) and vice versa, because the
+    file's device list is never consulted.
     """
+    import orbax.checkpoint as ocp
+
     directory = Path(directory).resolve()
     if step is None:
         step = latest_step(directory)
@@ -92,13 +100,19 @@ def restore_train_state(directory, template, step: Optional[int] = None,
             raise FileNotFoundError(f"no checkpoints under {directory}")
     path = directory / f"step_{step:08d}"
     drop = _strip(template)
+
+    def _restore(item):
+        return _ckptr().restore(
+            path, item=item,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(item),
+        )
+
     try:
-        restored = _ckptr().restore(path, item=template.replace(**drop))
+        restored = _restore(template.replace(**drop))
     except (ValueError, KeyError):
         # pre-slimming checkpoint: the derived cache was serialized — restore
         # it with the full template (still valid, just bigger on disk)
-        restored = _ckptr().restore(path, item=template)
-        return restored
+        return _restore(template)
     if "chain_energies" in drop:
         # recreate the non-PT placeholder the save dropped (orbax cannot
         # hold zero-size arrays)

@@ -160,6 +160,46 @@ def test_graph_sharded_native_resume(tmp_path):
     assert np.isfinite(stats["mse"])
 
 
+def test_cross_topology_restore(tmp_path):
+    """A checkpoint saved under one device topology restores under another:
+    every leaf lands with the TEMPLATE's (current-process) sharding — the
+    file's recorded device list is never consulted (production shape:
+    save on a training pod, restore on one serving chip)."""
+    from jax.sharding import PartitionSpec as P
+
+    # save from a mesh run
+    t1 = Trainer(config=cfg())  # mesh="auto" → the 8-device CPU mesh
+    assert t1.mesh is not None
+    t1.train_init(n_epochs=1)
+    t1.train_epoch(0)
+    t1.save_native(tmp_path / "mesh_ck")
+
+    # restore into a single-device trainer: no mesh, no sharded leaves
+    t2 = Trainer(config=cfg(), mesh=None)
+    assert t2.mesh is None
+    t2.train_init(n_epochs=1)
+    t2.resume_native(tmp_path / "mesh_ck", n_epochs=1)
+    assert len(t2.state.chains.sharding.device_set) == 1
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.chains), np.asarray(t1.state.chains)
+    )
+    stats = t2.train_epoch(0)  # and it can keep training single-device
+    assert np.isfinite(stats["mse"])
+
+    # the reverse: single-device save → mesh restore (leaves re-sharded)
+    t2b = Trainer(config=cfg(), mesh=None)
+    t2b.train_init(n_epochs=1)
+    t2b.train_epoch(0)
+    t2b.save_native(tmp_path / "single_ck")
+    t3 = Trainer(config=cfg())
+    t3.train_init(n_epochs=1)
+    t3.resume_native(tmp_path / "single_ck", n_epochs=1)
+    assert t3.state.chains.sharding.spec == P(("data", "chain"))
+    np.testing.assert_array_equal(
+        np.asarray(t3.state.chains), np.asarray(t2b.state.chains)
+    )
+
+
 def test_gumbel_mode_trains():
     t = Trainer(config=cfg(LATENT_TO_DISCRETE="gumbel", GUMBEL_TAU=0.7))
     t.train_init(n_epochs=1)
