@@ -60,16 +60,25 @@ def valid_name(name) -> bool:
 
 class JobManager:
     """One background job at a time (the reference's single background
-    callback + cancel semantics)."""
+    callback + cancel semantics).  Two job shapes behind one status
+    protocol: OS subprocesses (the CLI — cancellable, the reference's
+    ``background=True`` model) and in-process daemon threads (warm
+    generation serving — not interruptible once dispatched to the device,
+    so ``cancel`` reports False for them)."""
 
     def __init__(self, workdir: Path):
         self.workdir = Path(workdir)
         self.proc: subprocess.Popen | None = None
         self.kind = None
         self.lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+        self._thread_state = None  # "done" | "failed" after the thread ends
+        self._thread_error = None
 
     def running(self) -> bool:
-        return self.proc is not None and self.proc.poll() is None
+        if self.proc is not None and self.proc.poll() is None:
+            return True
+        return self._thread is not None and self._thread.is_alive()
 
     def start(self, kind: str, cli_args: list) -> bool:
         with self.lock:
@@ -84,18 +93,47 @@ class JobManager:
             pkg_root = str(Path(__file__).resolve().parents[2])
             env = dict(os.environ)
             env["PYTHONPATH"] = pkg_root + os.pathsep + env.get("PYTHONPATH", "")
+            self._thread = self._thread_state = self._thread_error = None
             self.proc = subprocess.Popen(cmd, cwd=str(self.workdir), env=env)
             self.kind = kind
             return True
 
+    def start_call(self, kind: str, fn) -> bool:
+        """Run ``fn()`` on a daemon thread under the same one-job gate."""
+        with self.lock:
+            if self.running():
+                return False
+            self.proc = None
+            self.kind = kind
+            self._thread_state, self._thread_error = "running", None
+
+            def run():
+                try:
+                    fn()
+                    self._thread_state = "done"
+                except Exception as e:  # surfaced via /api/state
+                    self._thread_error = f"{type(e).__name__}: {e}"
+                    self._thread_state = "failed"
+
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+            return True
+
     def cancel(self) -> bool:
         with self.lock:
-            if not self.running():
-                return False
+            if self.proc is None or self.proc.poll() is not None:
+                return False  # idle, finished, or an uninterruptible thread job
             self.proc.terminate()
             return True
 
     def status(self) -> dict:
+        if self._thread is not None:
+            if self._thread.is_alive():
+                return {"state": "running", "kind": self.kind}
+            out = {"state": self._thread_state or "done", "kind": self.kind}
+            if self._thread_error:
+                out["error"] = self._thread_error
+            return out
         if self.proc is None:
             return {"state": "idle"}
         rc = self.proc.poll()
@@ -486,13 +524,24 @@ def _favicon() -> bytes:
 
 def make_server(
     workdir=".", port: int = 8050, extra_cli: list | None = None,
-    host: str = "127.0.0.1",
+    host: str = "127.0.0.1", warm_generate: bool = False,
+    warm_overrides: dict | None = None,
 ):
+    """``warm_generate``: serve /api/generate from an in-process
+    WarmGenerator (app/warm.py) instead of a CLI subprocess — the loaded
+    model and its compiled sample→decode executables stay warm between
+    requests (first request still compiles).  ``warm_overrides``:
+    TrainingConfig overrides for the serving trainer (tests)."""
     workdir = Path(workdir).resolve()
     jobs = JobManager(workdir)
     files = RunFiles(workdir)
     page = _render_page().encode()
     extra = list(extra_cli or [])
+    warm = None
+    if warm_generate:
+        from image_generation_tpu.app.warm import WarmGenerator
+
+        warm = WarmGenerator(workdir, config_overrides=warm_overrides)
 
     def model_dir(name) -> Path | None:
         """workdir/models/<name> for a validated name, else None."""
@@ -689,6 +738,12 @@ def make_server(
                 if not (model / "dvae.pth").exists():
                     return self._json({"error": "unknown model"}, 404)
                 if self.path == "/api/generate":
+                    if warm is not None:
+                        sharpen = bool(body.get("sharpen"))
+                        ok = jobs.start_call(
+                            "generate", lambda: warm.generate(model, sharpen)
+                        )
+                        return self._json({"started": ok}, 200 if ok else 409)
                     args = ["generate", "--model", str(model)]
                     if body.get("sharpen"):
                         args.append("--sharpen")
@@ -763,8 +818,17 @@ def main(argv=None):
         help="bind address (default loopback; 0.0.0.0 to expose)",
     )
     ap.add_argument("--debug", action="store_true")  # reference --debug flag
+    ap.add_argument(
+        "--warm-generate", action="store_true",
+        help="serve /api/generate from an in-process warm trainer (model + "
+        "compiled sample→decode stay resident between requests) instead of "
+        "a per-request CLI subprocess",
+    )
     args = ap.parse_args(argv)
-    server = make_server(args.workdir, args.port, host=args.host)
+    server = make_server(
+        args.workdir, args.port, host=args.host,
+        warm_generate=args.warm_generate,
+    )
     print(f"serving on http://{args.host}:{args.port} (workdir={args.workdir})")
     try:
         server.serve_forever()

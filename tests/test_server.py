@@ -117,6 +117,75 @@ def test_model_data_html_endpoint(server):
     assert 'class="model-details"' in html
 
 
+@pytest.mark.slow
+def test_warm_generate(tmp_path):
+    """In-process warm generation serving (app/warm.py): /api/generate runs
+    on a daemon thread against a resident Trainer — same artifacts and
+    status protocol as the subprocess path, single-job gate still applies,
+    and a failing request surfaces state=failed with the error."""
+    from image_generation_tpu.app.cli import main as cli_main
+    from image_generation_tpu.app.server import make_server
+
+    cli_main([
+        "--workdir", str(tmp_path), "train", "--name", "warm_model",
+        "--qpu", "Advantage2_prototype", "--latents", "32",
+        "--dataset-size", "64", "--batch-size", "16", "--sweeps", "2",
+        "--epochs", "1",
+    ])
+    srv = make_server(
+        tmp_path, port=0, warm_generate=True,
+        warm_overrides=dict(
+            DATASET_SIZE=64, BATCH_SIZE=16, GIBBS_SWEEPS=2, NUM_READS=16
+        ),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+
+        def wait_done(deadline_s=180):
+            deadline = time.time() + deadline_s
+            while time.time() < deadline:
+                _, body = _get(port, "/api/state")
+                job = json.loads(body)["job"]
+                if job["state"] in ("done", "failed"):
+                    return job
+                # thread jobs are uninterruptible: cancel must report False
+                status, resp = _post(port, "/api/cancel", {})
+                assert resp == {"cancelled": False}
+                time.sleep(1)
+            raise AssertionError("warm job did not finish")
+
+        status, resp = _post(port, "/api/generate", {"model": "warm_model"})
+        assert status == 200 and resp["started"]
+        job = wait_done()
+        assert job == {"state": "done", "kind": "generate"}
+        assert (tmp_path / "generated_json" / "generated_epoch_0.json").exists()
+        assert (tmp_path / "assets" / "model_diagram" / "latent_qpu.json").exists()
+
+        # second request: served by the SAME resident trainer (the warm
+        # point), still one-job-gated, still completes
+        status, resp = _post(port, "/api/generate", {"model": "warm_model"})
+        assert status == 200 and resp["started"]
+        assert wait_done()["state"] == "done"
+
+        # a corrupt model fails the thread job and surfaces the error
+        bad = tmp_path / "models" / "bad"
+        bad.mkdir()
+        (bad / "dvae.pth").write_bytes(b"not a checkpoint")
+        status, resp = _post(port, "/api/generate", {"model": "bad"})
+        assert status == 200 and resp["started"]
+        job = wait_done()
+        assert job["state"] == "failed" and job["error"]
+
+        # and the manager is reusable after a failure
+        status, resp = _post(port, "/api/generate", {"model": "warm_model"})
+        assert status == 200 and resp["started"]
+        assert wait_done()["state"] == "done"
+    finally:
+        srv.shutdown()
+
+
 def test_generate_unknown_model_404(server):
     srv, port, _ = server
     status, resp = _post(port, "/api/generate", {"model": "nope"})
