@@ -122,7 +122,9 @@ def bench_generate(args, cfg, fns, plan, state, metric_prefix):
     def serve_many(key, params, batch_stats, grbm_params):
         def body(acc, k):
             imgs = request(k, params, batch_stats, grbm_params)
-            return acc + imgs[0, 0, 0, 0], None
+            # full reduction: every decoded pixel feeds the result, so XLA
+            # cannot slice-sink/DCE any of the per-request work
+            return acc + imgs.sum(), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jax.random.split(key, reps))
         return acc

@@ -18,7 +18,7 @@ from typing import Optional
 
 from image_generation_tpu.app.figures import imshow_figure, loss_figure, write_figure
 
-__all__ = ["RunFiles", "JSON_FILE_DIR"]
+__all__ = ["RunFiles", "JSON_FILE_DIR", "list_models"]
 
 JSON_FILE_DIR = "generated_json"
 MODELS_DIR = "models"
@@ -128,3 +128,32 @@ class RunFiles:
             return json.loads(p.read_text())
         except (json.JSONDecodeError, OSError):
             return None
+
+    def latest_epoch(self) -> Optional[int]:
+        """Highest epoch with a generated-images figure on disk (what the
+        page poll and the /plain view both key their redraw on)."""
+        latest = None
+        for p in self.dir.glob("generated_epoch_*.json"):
+            try:
+                latest = max(latest or -1, int(p.stem.rsplit("_", 1)[1]))
+            except ValueError:
+                pass
+        return latest
+
+
+def list_models(workdir: str | Path) -> list[dict]:
+    """Saved model dirs under ``workdir/models`` with their parameters.json
+    metadata (name-sorted; unreadable/partial dirs skipped) — the backing
+    of /api/models and the /plain model cards."""
+    out = []
+    root = Path(workdir) / MODELS_DIR
+    if root.exists():
+        for d in sorted(root.iterdir()):
+            pj = d / "parameters.json"
+            if pj.exists():
+                try:
+                    meta = json.loads(pj.read_text())
+                except (json.JSONDecodeError, OSError):
+                    continue
+                out.append({"name": d.name, **meta})
+    return out

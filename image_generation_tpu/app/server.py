@@ -42,7 +42,7 @@ from pathlib import Path
 from urllib.parse import urlparse
 
 from image_generation_tpu.app import ui_config
-from image_generation_tpu.app.files import RunFiles
+from image_generation_tpu.app.files import RunFiles, list_models
 from image_generation_tpu.utils.topology import QPU_TOPOLOGIES
 
 __all__ = ["make_server", "main", "valid_name"]
@@ -447,12 +447,7 @@ def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
 
     st = jobs.status()
     progress = files.read_progress()
-    latest = None
-    for p in sorted(files.dir.glob("generated_epoch_*.json")):
-        try:
-            latest = max(latest or -1, int(p.stem.rsplit("_", 1)[1]))
-        except ValueError:
-            pass
+    latest = files.latest_epoch()
 
     out = [
         "<!doctype html><html><head><meta charset=\"utf-8\">",
@@ -496,17 +491,9 @@ def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
             f'<img class="plot" style="max-width:420px" alt="total loss" '
             f'src="/api/render/loss_total/{latest}.svg">'
         )
-    models_root = workdir / "models"
-    if models_root.exists():
-        for d in sorted(models_root.iterdir()):
-            pj = d / "parameters.json"
-            if pj.exists():
-                try:
-                    meta = json.loads(pj.read_text())
-                except json.JSONDecodeError:
-                    continue
-                out.append(f"<h4>{_h.escape(d.name)}</h4>")
-                out.append(model_data_html(meta))
+    for meta in list_models(workdir):
+        out.append(f"<h4>{_h.escape(meta['name'])}</h4>")
+        out.append(model_data_html(meta))
     out.append('<div class="status"><a href="/">interactive view</a></div>')
     out.append("</div></div></body></html>")
     return "".join(out)
@@ -631,26 +618,13 @@ def make_server(
                     return self._json({"error": "not found"}, 404)
                 return self._bytes(ico, "image/x-icon")
             if url.path == "/api/state":
-                progress = files.read_progress()
-                latest = None
-                for p in sorted(files.dir.glob("generated_epoch_*.json")):
-                    try:
-                        latest = max(latest or -1, int(p.stem.rsplit("_", 1)[1]))
-                    except ValueError:
-                        pass
-                return self._json(
-                    {"job": jobs.status(), "progress": progress, "latest_epoch": latest}
-                )
+                return self._json({
+                    "job": jobs.status(),
+                    "progress": files.read_progress(),
+                    "latest_epoch": files.latest_epoch(),
+                })
             if url.path == "/api/models":
-                out = []
-                root = workdir / "models"
-                if root.exists():
-                    for d in sorted(root.iterdir()):
-                        pj = d / "parameters.json"
-                        if pj.exists():
-                            meta = json.loads(pj.read_text())
-                            out.append({"name": d.name, **meta})
-                return self._json(out)
+                return self._json(list_models(workdir))
             if len(parts) == 3 and parts[:2] == ["api", "model_data_html"]:
                 # the selected-model data card (reference generate_model_data,
                 # demo_interface.py:179-202), server-rendered like every

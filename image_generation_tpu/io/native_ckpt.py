@@ -101,18 +101,23 @@ def restore_train_state(directory, template, step: Optional[int] = None,
     path = directory / f"step_{step:08d}"
     drop = _strip(template)
 
-    def _restore(item):
-        return _ckptr().restore(
-            path, item=item,
-            restore_args=ocp.checkpoint_utils.construct_restore_args(item),
-        )
-
     try:
-        restored = _restore(template.replace(**drop))
-    except (ValueError, KeyError):
-        # pre-slimming checkpoint: the derived cache was serialized — restore
-        # it with the full template (still valid, just bigger on disk)
-        return _restore(template)
+        restored = _ckptr().restore(
+            path, item=template.replace(**drop),
+            restore_args=ocp.checkpoint_utils.construct_restore_args(
+                template.replace(**drop)
+            ),
+        )
+    except (ValueError, KeyError) as e:
+        # structure mismatch: the checkpoint was written by an incompatible
+        # TrainState schema (e.g. a pre-energy-carry build, or a different
+        # sampler mode than the template's config) — surface it rather than
+        # guessing at a partial restore
+        raise ValueError(
+            f"checkpoint {path} does not match the current TrainState "
+            f"schema (saved by an older build, or a different SAMPLER "
+            f"mode than the restoring config?): {e}"
+        ) from e
     if "chain_energies" in drop:
         # recreate the non-PT placeholder the save dropped (orbax cannot
         # hold zero-size arrays)

@@ -56,6 +56,29 @@ def test_scaling_knobs():
     assert pt["sweeps"] == 32 * gibbs_64["sweeps"]
 
 
+def test_encoder_term_matches_xla_cost_analysis():
+    """Same cross-check for the encoder pyramid: the hard-coded channel
+    widths in analytic_flops_per_step must track models/encoder.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from image_generation_tpu.models.encoder import Encoder
+
+    n = 64
+    enc = Encoder(n_latents=n)
+    x = jnp.zeros((1, 32, 32, 1))  # NHWC
+    params = enc.init(jax.random.PRNGKey(0), x, train=False)
+    analyzed = (
+        jax.jit(lambda p, x: enc.apply(p, x, train=False))
+        .lower(params, x).compile().cost_analysis()
+    )
+    xla_flops = analyzed["flops"] if isinstance(analyzed, dict) else analyzed[0]["flops"]
+
+    cfg = _cfg(N_LATENTS=n, BATCH_SIZE=1, N_REPLICAS=1)
+    fl = analytic_flops_per_step(cfg, _Plan(n))
+    assert xla_flops == pytest.approx(fl["enc_fwd_per_image"], rel=0.35)
+
+
 def test_decoder_term_matches_xla_cost_analysis():
     """The dominant DVAE forward term agrees with XLA's own FLOP count for
     the real decoder apply (within the slack of XLA fusing pads/strides)."""

@@ -160,6 +160,25 @@ def test_graph_sharded_native_resume(tmp_path):
     assert np.isfinite(stats["mse"])
 
 
+def test_restore_schema_mismatch_is_a_clear_error(tmp_path):
+    """A checkpoint whose TrainState schema doesn't match the restoring
+    config (different SAMPLER mode here; older builds in general) must
+    surface one clear ValueError — not a misleading partial restore."""
+    from image_generation_tpu.io.native_ckpt import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    t_pt = Trainer(config=cfg(SAMPLER="pt", PT_NUM_BETAS=4))
+    t_pt.train_init(n_epochs=1)
+    save_train_state(tmp_path / "pt_ck", t_pt.state)
+
+    t_gibbs = Trainer(config=cfg())  # non-PT: (0,) chain_energies placeholder
+    t_gibbs.train_init(n_epochs=1)
+    with pytest.raises(ValueError, match="TrainState schema"):
+        restore_train_state(tmp_path / "pt_ck", t_gibbs.state)
+
+
 def test_cross_topology_restore(tmp_path):
     """A checkpoint saved under one device topology restores under another:
     every leaf lands with the TEMPLATE's (current-process) sharding — the
