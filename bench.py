@@ -198,6 +198,14 @@ def main():
         "bfloat16 halves the optimizer-state HBM traffic of the scaled "
         "config's 127M-param dense layer",
     )
+    ap.add_argument(
+        "--sampler-matmul-dtype",
+        choices=("auto", "float32", "bfloat16", "int8"),
+        default=None,
+        help="Gibbs sweep matmul dtype (SAMPLER_MATMUL_DTYPE); int8 samples "
+        "the int8-quantized model on the 2x-rate int8 MXU and halves the "
+        "HBM-streaming kernel's coupling traffic (ops/quant.py)",
+    )
     args = ap.parse_args()
 
     from image_generation_tpu.config import TrainingConfig
@@ -249,6 +257,8 @@ def main():
 
     if args.adam_moment_dtype:
         cfg = cfg.replace(ADAM_MOMENT_DTYPE=args.adam_moment_dtype)
+    if args.sampler_matmul_dtype:
+        cfg = cfg.replace(SAMPLER_MATMUL_DTYPE=args.sampler_matmul_dtype)
 
     if full is None:
         from image_generation_tpu.utils.graph_cache import cached_latent_graph

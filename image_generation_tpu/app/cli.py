@@ -47,6 +47,8 @@ def _build_trainer(args, for_load: bool = False):
         overrides["GRAPH_SHARDED"] = args.graph_sharded
     if getattr(args, "adam_moment_dtype", None) is not None:
         overrides["ADAM_MOMENT_DTYPE"] = args.adam_moment_dtype
+    if getattr(args, "sampler_matmul_dtype", None) is not None:
+        overrides["SAMPLER_MATMUL_DTYPE"] = args.sampler_matmul_dtype
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -318,6 +320,15 @@ def main(argv=None):
         help="storage dtype of the DVAE Adam moments (bfloat16 halves "
         "optimizer-state HBM traffic — the scaled config's measured update "
         "floor; arithmetic stays f32; default float32)",
+    )
+    common.add_argument(
+        "--sampler-matmul-dtype", default=None,
+        choices=["auto", "float32", "bfloat16", "int8"],
+        help="Gibbs sweep matmul dtype (default auto = bf16 on large "
+        "graphs); int8 samples the int8-quantized model on the 2x-rate "
+        "int8 MXU and halves the streaming kernel's coupling traffic "
+        "(ops/quant.py — quantization is tighter than the physical "
+        "annealer's analog control error)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,

@@ -57,6 +57,11 @@ class TrainingConfig:
     # HBM/VMEM traffic beats the per-color cast cost), f32 otherwise;
     # ±1 spins are exact in bf16 and accumulation is always f32.
     # "float32" forces bit-level determinism (sharding-equivalence tests).
+    # "int8" samples the int8-QUANTIZED model (ops/quant.py: couplings
+    # rounded to 255 levels of max|J|/127 — tighter than the reference
+    # annealer's analog control error) on the 2×-rate int8 MXU, also
+    # halving the HBM-streaming kernel's coupling traffic vs bf16.
+    # Opt-in; not composable with GRAPH_SHARDED.
     ADAM_MOMENT_DTYPE: str = "float32"  # storage dtype of the DVAE Adam
     # moments (mu AND nu): "float32" (default — exact reference semantics)
     # or "bfloat16" — halves optimizer-state HBM footprint/traffic, the
@@ -107,6 +112,13 @@ class TrainingConfig:
             raise ValueError(
                 "ADAM_MOMENT_DTYPE must be 'float32' or 'bfloat16', got "
                 f"{self.ADAM_MOMENT_DTYPE!r}"
+            )
+        if self.SAMPLER_MATMUL_DTYPE not in (
+            "auto", "float32", "bfloat16", "int8"
+        ):
+            raise ValueError(
+                "SAMPLER_MATMUL_DTYPE must be 'auto'/'float32'/'bfloat16'/"
+                f"'int8', got {self.SAMPLER_MATMUL_DTYPE!r}"
             )
 
     @classmethod

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from image_generation_tpu.models.grbm import GRBMGraph
+from image_generation_tpu.ops.quant import QuantCoupling
 from image_generation_tpu.utils.coloring import greedy_coloring
 
 __all__ = [
@@ -211,9 +212,17 @@ def gibbs_sweeps(
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     blocks = plan.blocks
     chains = spins_p.shape[0]
-    # ±1 spins and small couplings lose nothing statistically in bf16; the
-    # accumulation stays f32 (MXU-native). Halves HBM traffic on big graphs.
-    coupling_mm = coupling_p.astype(matmul_dtype) if matmul_dtype else coupling_p
+    # int8-quantized coupling (ops/quant.py): the int8 MXU path — samples
+    # the quantized model exactly (int32 accumulation, f32 scale-out);
+    # ``matmul_dtype`` is ignored in this mode.
+    quant = isinstance(coupling_p, QuantCoupling)
+    if quant:
+        coupling_mm, q_scale = coupling_p.q, coupling_p.scale
+    else:
+        # ±1 spins and small couplings lose nothing statistically in bf16;
+        # the accumulation stays f32 (MXU-native). Halves HBM traffic on
+        # big graphs.
+        coupling_mm = coupling_p.astype(matmul_dtype) if matmul_dtype else coupling_p
 
     def sweep(carry, k_sweep):
         s, de = carry
@@ -221,13 +230,18 @@ def gibbs_sweeps(
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
             # cast per color: fields must see this sweep's earlier updates
-            s_mm = s.astype(matmul_dtype) if matmul_dtype else s
+            if quant:
+                s_mm = s.astype(jnp.int8)
+            else:
+                s_mm = s.astype(matmul_dtype) if matmul_dtype else s
             fields = jax.lax.dot_general(
                 s_mm,
                 jax.lax.slice_in_dim(coupling_mm, start, stop, axis=1),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
             )
+            if quant:
+                fields = fields.astype(jnp.float32) * q_scale
             fields = fields + jax.lax.slice_in_dim(hp, start, stop)
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             u = jax.random.uniform(k, (chains, width), dtype=fields.dtype)
@@ -254,8 +268,19 @@ def ising_energies(
 
     ``matmul_dtype``: optional bf16 for the sᵀA matmul (f32 accumulation) —
     exact for ±1 spins up to coupling rounding; used by PT swap tests.
+
+    A ``QuantCoupling`` computes the energy of the QUANTIZED model exactly:
+    the ±1 × int8 product accumulates in int32 (exact), scaled out once in
+    f32 (``matmul_dtype`` is ignored).
     """
-    if matmul_dtype is not None:
+    if isinstance(coupling_p, QuantCoupling):
+        sa = jax.lax.dot_general(
+            spins_p.astype(jnp.int8),
+            coupling_p.q,
+            dimension_numbers=(((spins_p.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * coupling_p.scale
+    elif matmul_dtype is not None:
         sa = jax.lax.dot_general(
             spins_p.astype(matmul_dtype),
             coupling_p.astype(matmul_dtype),

@@ -76,7 +76,11 @@ def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for,
 
     The coupling buffer may be bf16 (±1 spins are exact in bf16; couplings
     lose nothing statistically): spins are cast to its dtype per block and
-    the MXU accumulates in f32.
+    the MXU accumulates in f32.  An int8 coupling buffer selects the int8
+    MXU path (2× the bf16 rate): spins are stored int8 too, the dot
+    accumulates exactly in int32, and the CALLER works in quantized units —
+    h_ref carries h/scale and beta_ref carries β·scale, so this body needs
+    no scale at all (ops/quant.py; wrapper rescales the returned ΔE).
 
     ``de_ref``: optional (chains, 1) f32 accumulator for the exact energy
     change — ΔE of a block update is fields·(s_new − s_old) because a color
@@ -84,22 +88,40 @@ def _color_update(plan, spins_ref, coupling_ref, h_ref, beta_ref, uniform_for,
     per color (pt_round carries PT ladder energies with this instead of
     recomputing full-ladder energy matmuls).
     """
+    quant = coupling_ref.dtype == jnp.int8
     for c0, _valid, c1 in plan.blocks:
+        lhs = spins_ref[:]
+        if lhs.dtype != coupling_ref.dtype:
+            lhs = lhs.astype(coupling_ref.dtype)
         fields = jnp.dot(
-            spins_ref[:].astype(coupling_ref.dtype),
+            lhs,
             coupling_ref[:, c0:c1],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
         )
+        if quant:
+            fields = fields.astype(jnp.float32)
         fields = fields + h_ref[0, c0:c1]
         p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
         u = uniform_for(c0, c1)
         new = jnp.where(u < p_plus, 1.0, -1.0)
         if de_ref is not None:
-            old = spins_ref[:, c0:c1].astype(jnp.float32)
+            old = spins_ref[:, c0:c1]
+            # int8 → f32 via int32 (Mosaic-safe cast chain)
+            old = (
+                old.astype(jnp.int32).astype(jnp.float32)
+                if old.dtype != jnp.float32 else old
+            )
             de_ref[:] = de_ref[:] + jnp.sum(
                 fields * (new - old), axis=-1, keepdims=True
             )
-        spins_ref[:, c0:c1] = new.astype(spins_ref.dtype)
+        if spins_ref.dtype == jnp.float32:
+            spins_ref[:, c0:c1] = new
+        else:
+            # int8 store: select int32 constants (the mask keeps its f32/i32
+            # tiling — Mosaic cannot relayout an i1 mask to int8 tiling),
+            # then pack int32→int8
+            new_i32 = jnp.where(u < p_plus, jnp.int32(1), jnp.int32(-1))
+            spins_ref[:, c0:c1] = new_i32.astype(spins_ref.dtype)
 
 
 def _kernel(plan: GibbsPlan, n_sweeps: int, track_de: bool, seed_ref, h_ref,
@@ -182,16 +204,32 @@ def gibbs_sweeps_pallas(
     ``track_delta_e``: also return the (chains,) exact energy change of the
     run (in-kernel fields·Δs accumulation — no extra matmul; see
     ops.gibbs.gibbs_sweeps).
+
+    A ``QuantCoupling`` (ops/quant.py) runs the int8 MXU path: spins and
+    coupling live in int8 VMEM buffers and the kernel works in quantized
+    units (h/scale, β·scale) so its body never sees the scale; the returned
+    ΔE is rescaled here and spins come back f32 (``matmul_dtype`` ignored).
     """
+    from image_generation_tpu.ops.quant import QuantCoupling
+
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
     block = _pick_block(n_chains, chain_block)
     grid = n_chains // block
 
+    quant = isinstance(coupling_p, QuantCoupling)
+    if quant:
+        q_scale = coupling_p.scale
+        coupling_in, hp_eff = coupling_p.q, hp / q_scale
+        beta_eff = jnp.asarray(beta, jnp.float32) * q_scale
+        spins_dtype = jnp.int8
+    else:
+        coupling_in = coupling_p.astype(matmul_dtype or jnp.float32)
+        hp_eff, beta_eff, spins_dtype = hp, beta, jnp.float32
     beta_arr = jnp.broadcast_to(
-        jnp.asarray(beta, jnp.float32).reshape(-1, 1), (n_chains, 1)
+        jnp.asarray(beta_eff, jnp.float32).reshape(-1, 1), (n_chains, 1)
     ).astype(jnp.float32)
-    h2d = hp.reshape(1, -1).astype(jnp.float32)
+    h2d = hp_eff.reshape(1, -1).astype(jnp.float32)
 
     flops_per_sweep = 2 * block * n_pad * n_pad
     if interpret is True and uniforms is None:
@@ -204,7 +242,7 @@ def gibbs_sweeps_pallas(
     spins_out_spec = pl.BlockSpec(
         (block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    spins_out_shape = jax.ShapeDtypeStruct((n_chains, n_pad), jnp.float32)
+    spins_out_shape = jax.ShapeDtypeStruct((n_chains, n_pad), spins_dtype)
     if track_delta_e:
         out_specs = (
             spins_out_spec,
@@ -230,13 +268,16 @@ def gibbs_sweeps_pallas(
     h_spec = pl.BlockSpec((1, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     coupling_spec = pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    mm_dtype = matmul_dtype or jnp.float32
     spins_spec = pl.BlockSpec((block, n_pad), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def _unpack(out):
         if track_delta_e:
-            return out[0], out[1][:, 0]
-        return out
+            spins, de = out[0], out[1][:, 0]
+            if quant:
+                # kernel ΔE is in quantized units (module docstring)
+                return spins.astype(jnp.float32), de * q_scale
+            return spins, de
+        return out.astype(jnp.float32) if quant else out
 
     if uniforms is not None:
         assert uniforms.shape == (n_sweeps, n_chains, n_pad)
@@ -253,8 +294,8 @@ def gibbs_sweeps_pallas(
                 spins_spec,
             ],
             **common,
-        )(h2d, beta_arr, coupling_p.astype(mm_dtype),
-          uniforms.astype(jnp.float32), spins_p.astype(jnp.float32)))
+        )(h2d, beta_arr, coupling_in,
+          uniforms.astype(jnp.float32), spins_p.astype(spins_dtype)))
 
     seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
     kernel = functools.partial(_kernel, plan, n_sweeps, track_delta_e)
@@ -268,7 +309,7 @@ def gibbs_sweeps_pallas(
             spins_spec,
         ],
         **common,
-    )(seed, h2d, beta_arr, coupling_p.astype(mm_dtype), spins_p.astype(jnp.float32)))
+    )(seed, h2d, beta_arr, coupling_in, spins_p.astype(spins_dtype)))
 
 
 def gibbs_sweeps_pallas_sharded(

@@ -120,6 +120,10 @@ def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool,
     dma(0, 0).start()
     load.wait()
 
+    quant = spins_vmem.dtype == jnp.int8  # int8 MXU path (ops/quant.py):
+    # the caller works in quantized units (h/scale, β·scale), so the body
+    # is scale-free; the wrapper rescales the returned ΔE
+
     def half(i_half, carry):
         for k, (step, c) in enumerate(seq):
             slot = k % 2
@@ -132,8 +136,10 @@ def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool,
             dma(slot, c).wait()
             fields = jnp.dot(
                 spins_vmem[:], scratch[slot, :, :width],
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
             )
+            if quant:
+                fields = fields.astype(jnp.float32)
             fields = fields + h_ref[0, c0:c1]
             p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
             if uniforms_ref is None:
@@ -144,11 +150,22 @@ def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool,
             if de_ref is not None:
                 # exact ΔE of a color-block update: fields·(s_new − s_old)
                 # (no intra-color couplings) — PT ladder energies ride this
-                old = spins_vmem[:, c0:c1].astype(jnp.float32)
+                old = spins_vmem[:, c0:c1]
+                old = (
+                    old.astype(jnp.int32).astype(jnp.float32)  # Mosaic-safe
+                    if quant else old.astype(jnp.float32)
+                )
                 de_ref[:] = de_ref[:] + jnp.sum(
                     fields * (new - old), axis=-1, keepdims=True
                 )
-            spins_vmem[:, c0:c1] = new.astype(spins_vmem.dtype)
+            if quant:
+                # int8 store: select int32 constants (the mask keeps its
+                # f32/i32 tiling — Mosaic cannot relayout an i1 mask to int8
+                # tiling), then pack int32→int8
+                new_i32 = jnp.where(u < p_plus, jnp.int32(1), jnp.int32(-1))
+                spins_vmem[:, c0:c1] = new_i32.astype(spins_vmem.dtype)
+            else:
+                spins_vmem[:, c0:c1] = new.astype(spins_vmem.dtype)
         return carry
 
     jax.lax.fori_loop(0, n_half, half, 0)
@@ -182,18 +199,32 @@ def gibbs_sweeps_pallas_hbm(
     ``track_delta_e``: also return the (chains,) exact energy change of the
     run, covering the ACTUAL (rounded-up) sweeps performed — consistent
     with the returned spins.
+
+    A ``QuantCoupling`` (ops/quant.py) streams the coupling AND holds the
+    spin block in int8 — halving the kernel's HBM traffic on top of the 2×
+    int8 MXU rate.  The kernel works in quantized units (h/scale, β·scale);
+    spins come back f32 and ΔE is rescaled here (``block_dtype`` ignored).
     """
+    from image_generation_tpu.ops.quant import QuantCoupling
+
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
+    quant = isinstance(coupling_p, QuantCoupling)
+    if quant:
+        q_scale = coupling_p.scale
+        hp_eff, beta_eff, block_dtype = hp / q_scale, jnp.asarray(
+            beta, jnp.float32) * q_scale, jnp.int8
+    else:
+        hp_eff, beta_eff = hp, beta
     block = hbm_chain_block(plan, n_chains, block_dtype, cap=chain_block)
     grid = n_chains // block
     n_half = -(-n_sweeps // 2)  # two sweeps per loop iteration
     max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
 
     beta_arr = jnp.broadcast_to(
-        jnp.asarray(beta, jnp.float32).reshape(-1, 1), (n_chains, 1)
+        jnp.asarray(beta_eff, jnp.float32).reshape(-1, 1), (n_chains, 1)
     ).astype(jnp.float32)
-    h2d = hp.reshape(1, -1).astype(jnp.float32)
+    h2d = hp_eff.reshape(1, -1).astype(jnp.float32)
     use_hw_rng = uniforms is None
     sdt = jnp.dtype(block_dtype)
 
@@ -230,12 +261,15 @@ def gibbs_sweeps_pallas_hbm(
     beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     coupling_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
     spins_spec = pl.BlockSpec(memory_space=pl.ANY)  # loaded by manual DMA
-    coupling_cast = coupling_p.astype(sdt)
+    coupling_cast = coupling_p.q if quant else coupling_p.astype(sdt)
     spins_cast = spins_p.astype(sdt)
 
     def _unpack(out):
         if track_delta_e:
-            return out[0].astype(jnp.float32), out[1][:, 0]
+            de = out[1][:, 0]
+            if quant:  # kernel ΔE is in quantized units (docstring above)
+                de = de * q_scale
+            return out[0].astype(jnp.float32), de
         return out.astype(jnp.float32)
 
     if uniforms is not None:

@@ -86,7 +86,9 @@ class TrainState:
     sampler_h: jax.Array  # (n_pad,) cached permuted fields of the scaled model
     sampler_coupling: jax.Array  # (n_pad, n_pad) cached permuted couplings —
     # rebuilt only when grbm_params change (the scheduled GRBM steps), so the
-    # common step pays zero model-build cost
+    # common step pays zero model-build cost.  Stored in the matmul dtype
+    # (bf16 at n_pad ≥ 2048); under SAMPLER_MATMUL_DTYPE="int8" this leaf is
+    # a QuantCoupling pytree (int8 matrix + f32 scale, ops/quant.py)
     opt_step: jax.Array  # int32 global step counter
     rng: jax.Array  # PRNG key threaded through steps
 
@@ -214,10 +216,14 @@ def make_train_fns(
     # the chains don't tile the mesh, drop to the XLA sampler, which GSPMD
     # partitions from the chains' sharding on its own.
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
+    int8_sampler = cfg.SAMPLER_MATMUL_DTYPE == "int8"
     if cfg.SAMPLER_MATMUL_DTYPE == "auto":
         # bf16 pays only when coupling-matrix traffic dominates the cast cost
         mm_dtype = jnp.bfloat16 if plan.n_pad >= 2048 else None
-    elif cfg.SAMPLER_MATMUL_DTYPE == "float32":
+    elif cfg.SAMPLER_MATMUL_DTYPE == "float32" or int8_sampler:
+        # int8: quantization is carried by the QuantCoupling the cached
+        # sampler model stores (ops/quant.py) — every sweep/energy impl
+        # branches on it, so no cast dtype is threaded
         mm_dtype = None
     else:
         mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
@@ -251,8 +257,11 @@ def make_train_fns(
         )
     # the auto gate is sized on the coupling's RESIDENT footprint — the
     # cached sampler_coupling is stored in the matmul dtype (bf16 for
-    # n_pad ≥ 2048, build_sampler_model), not construction-time f32
-    _coupling_itemsize = jnp.dtype(mm_dtype).itemsize if mm_dtype else 4
+    # n_pad ≥ 2048, build_sampler_model; int8 when quantized), not
+    # construction-time f32
+    _coupling_itemsize = (
+        1 if int8_sampler else jnp.dtype(mm_dtype).itemsize if mm_dtype else 4
+    )
     graph_sharded = graph_tiles and (
         cfg.GRAPH_SHARDED == "on"
         or (
@@ -261,6 +270,16 @@ def make_train_fns(
         )
     )
     if graph_sharded:
+        if int8_sampler:
+            # the graph-partitioned sweep's psum-of-partial-fields layout is
+            # not int8-wired (partial int32 sums would need their own
+            # collective dtype handling) — fail loudly rather than silently
+            # sampling a different model than requested
+            raise ValueError(
+                "SAMPLER_MATMUL_DTYPE='int8' is not supported together with "
+                "graph-sharded sampling (GRAPH_SHARDED); use 'auto'/"
+                "'bfloat16' there."
+            )
         pallas_ok = False  # the kernel holds full coupling rows per chip
         sampler_impl = "xla_graph_sharded"
     elif pallas_ok:
@@ -269,6 +288,8 @@ def make_train_fns(
             sampler_impl += "_sharded"
     else:
         sampler_impl = "xla"
+    if int8_sampler:
+        sampler_impl += "+int8"  # observability: bench/tests assert the path
 
     # PT swap energies in graph-sharded mode go through the reduce_scatter
     # layout — the plain ising_energies under GSPMD is free to all-gather
@@ -398,7 +419,15 @@ def make_train_fns(
         padded/color-permuted coordinates."""
         h, j = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
         hp, coupling_p = permuted_model(plan, h, j)
-        if mm_dtype is not None:
+        if int8_sampler:
+            # int8 MXU path: the cached coupling becomes a QuantCoupling
+            # (int8 matrix + f32 scale, ops/quant.py) — 4× smaller than f32
+            # and 2× the bf16 MXU rate; h stays f32 (added to fields
+            # unquantized)
+            from image_generation_tpu.ops.quant import quantize_coupling
+
+            coupling_p = quantize_coupling(coupling_p)
+        elif mm_dtype is not None:
             # store the cached coupling in the matmul dtype: every consumer
             # (XLA sweep, both Pallas kernels, graph-sharded sweep, PT swap
             # energies) casts to mm_dtype anyway, so this halves the state's
