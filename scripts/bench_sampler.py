@@ -1,0 +1,114 @@
+"""Standing harness for the BENCHMARKS.md "Samplers" table.
+
+Times the negative-phase refresh (2048 chains × 4 sweeps on the 5640-spin
+ideal Pegasus latent) for each sweep implementation / dtype, following the
+relay measurement rules (CLAUDE.md): the sweeps run inside one jitted
+chained scan (each refresh feeds the next), warmed at the timed shape, and
+a value is fetched to force completion.
+
+Writes runs/sampler_bench.json.
+Usage: python scripts/bench_sampler.py [--chains 2048 --sweeps 4 --reps 32]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from image_generation_tpu.models.grbm import GRBMGraph
+from image_generation_tpu.ops.gibbs import (
+    build_plan,
+    gibbs_sweeps,
+    permuted_model,
+    random_spins,
+)
+from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
+from image_generation_tpu.ops.quant import quantize_coupling
+from image_generation_tpu.utils.subgraph import select_latent_graph
+from image_generation_tpu.utils.topology import pegasus_graph
+
+
+def timed(fn_name, sweep_fn, key, s0, reps):
+    """Chained scan: refresh_i feeds refresh_{i+1}; nothing cacheable."""
+
+    @jax.jit
+    def run(key, s):
+        def body(s, k):
+            s = sweep_fn(k, s)
+            return s, None
+
+        s, _ = jax.lax.scan(body, s, jax.random.split(key, reps))
+        return s
+
+    k1, k2 = jax.random.split(key)
+    float(run(k1, s0).sum())  # compile + warm at the timed shape
+    t0 = time.perf_counter()
+    out = run(k2, s0)
+    float(out.sum())  # fetch a value: block_until_ready does not sync here
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{fn_name:28s} {dt*1e3:7.2f} ms / refresh")
+    return dt * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chains", type=int, default=2048)
+    ap.add_argument("--sweeps", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=32)
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform}:{getattr(dev, 'device_kind', '?')}")
+    full = pegasus_graph(16)
+    latent, _ = select_latent_graph(full, full.number_of_nodes(), 0)
+    graph = GRBMGraph.from_networkx(latent)
+    plan = build_plan(graph)
+    rng = np.random.RandomState(0)
+    h = jnp.asarray(rng.uniform(-0.3, 0.3, graph.n).astype(np.float32))
+    j = jnp.asarray(rng.uniform(-0.5, 0.5, graph.n_edges).astype(np.float32))
+    hp, cp = permuted_model(plan, h, j)
+    qc = quantize_coupling(cp)
+    cp_bf16 = cp.astype(jnp.bfloat16)
+    s0 = random_spins(jax.random.PRNGKey(1), plan, args.chains)
+    key = jax.random.PRNGKey(2)
+    n_sw = args.sweeps
+
+    variants = {
+        "pallas_hbm_bf16": lambda k, s: gibbs_sweeps_pallas_hbm(
+            k, hp, cp_bf16, plan, s, n_sw, block_dtype=jnp.bfloat16
+        ),
+        "pallas_hbm_int8": lambda k, s: gibbs_sweeps_pallas_hbm(
+            k, hp, qc, plan, s, n_sw
+        ),
+        "xla_bf16": lambda k, s: gibbs_sweeps(
+            k, hp, cp_bf16, plan, s, n_sw, matmul_dtype=jnp.bfloat16
+        ),
+        "xla_int8": lambda k, s: gibbs_sweeps(k, hp, qc, plan, s, n_sw),
+    }
+    out = {
+        "device": str(getattr(dev, "device_kind", dev.platform)),
+        "n": graph.n, "n_pad": plan.n_pad, "chains": args.chains,
+        "sweeps_per_refresh": args.sweeps, "reps": args.reps, "ms": {},
+    }
+    for name, fn in variants.items():
+        key, k = jax.random.split(key)
+        out["ms"][name] = round(timed(name, fn, k, s0, args.reps), 3)
+
+    flops = 2.0 * args.chains * plan.n_pad * plan.n_pad * args.sweeps
+    out["tops_int8"] = round(flops / (out["ms"]["pallas_hbm_int8"] / 1e3) / 1e12, 1)
+    out["tflops_bf16"] = round(flops / (out["ms"]["pallas_hbm_bf16"] / 1e3) / 1e12, 1)
+    Path("runs").mkdir(exist_ok=True)
+    Path("runs/sampler_bench.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
