@@ -49,6 +49,10 @@ class TrainingConfig:
     PERSISTENT_CHAINS: bool = True  # PCD: carry chain state across steps
     PT_NUM_BETAS: int = 8  # parallel-tempering ladder size (SAMPLER="pt")
     PT_BETA_MIN: float = 0.25
+    PT_BETAS: Optional[tuple] = None  # explicit PT ladder (ascending, last
+    # rung 1.0) — e.g. a feedback-optimized schedule from
+    # ops/pt_tune.tune_pt_betas (equal-barrier spacing beats the geomspace
+    # default on rough landscapes); overrides PT_NUM_BETAS/PT_BETA_MIN
     N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
     COMPUTE_DTYPE: str = "bfloat16"  # conv/dense compute precision on TPU;
     # parameters, BatchNorm stats, losses and the sampler stay float32
@@ -120,6 +124,19 @@ class TrainingConfig:
                 "SAMPLER_MATMUL_DTYPE must be 'auto'/'float32'/'bfloat16'/"
                 f"'int8', got {self.SAMPLER_MATMUL_DTYPE!r}"
             )
+        if self.PT_BETAS is not None:
+            b = tuple(float(x) for x in self.PT_BETAS)
+            if len(b) < 2 or any(
+                b2 <= b1 for b1, b2 in zip(b, b[1:])
+            ) or b[0] <= 0 or abs(b[-1] - 1.0) > 1e-6:
+                raise ValueError(
+                    "PT_BETAS must be an ascending ladder of ≥2 positive "
+                    f"rungs ending at 1.0, got {self.PT_BETAS!r}"
+                )
+            object.__setattr__(self, "PT_BETAS", b)
+            # chain shapes everywhere key off PT_NUM_BETAS — keep it the
+            # single source of ladder size
+            object.__setattr__(self, "PT_NUM_BETAS", len(b))
 
     @classmethod
     def from_yaml(cls, path, **overrides) -> "TrainingConfig":
@@ -134,6 +151,8 @@ class TrainingConfig:
         d = dataclasses.asdict(self)
         d["H_RANGE"] = list(self.H_RANGE)
         d["J_RANGE"] = list(self.J_RANGE)
+        if self.PT_BETAS is not None:
+            d["PT_BETAS"] = list(self.PT_BETAS)
         Path(path).write_text(yaml.safe_dump(d, sort_keys=False))
 
     def replace(self, **kw) -> "TrainingConfig":

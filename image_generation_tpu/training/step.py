@@ -204,7 +204,13 @@ def make_train_fns(
     )
     pallas_vmem = supported_by_pallas(plan, _eff_chains)
     pt_mode = cfg.SAMPLER == "pt"
-    betas = jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
+    # geometric spacing by default; PT_BETAS plugs in a tuned ladder (e.g.
+    # the equal-barrier schedule from ops/pt_tune.tune_pt_betas)
+    betas = (
+        jnp.asarray(cfg.PT_BETAS, jnp.float32)
+        if cfg.PT_BETAS is not None
+        else jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
+    )
     # multi-chip: shard_map the Pallas kernel over the chain rows when they
     # tile the mesh exactly; otherwise the XLA sampler (which GSPMD
     # partitions on its own from the chains' sharding) keeps correctness.

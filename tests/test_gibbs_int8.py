@@ -220,6 +220,40 @@ def test_int8_pallas_hbm_interpret_matches_xla(tiny):
     )
 
 
+def test_int8_sharded_pallas_matches_single_device(tiny):
+    """QuantCoupling through the shard_map wrapper (the P() in_spec prefix
+    must broadcast over the (q, scale) pytree): sharded int8 HBM kernel is
+    bit-identical to the single-device int8 kernel on the same uniforms."""
+    from image_generation_tpu.ops.gibbs_pallas import gibbs_sweeps_pallas_sharded
+    from image_generation_tpu.ops.gibbs_pallas_hbm import gibbs_sweeps_pallas_hbm
+    from image_generation_tpu.parallel.mesh import create_mesh
+
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=128)
+    hp, cp = permuted_model(plan, h, j)
+    qc = quantize_coupling(cp)
+    mesh = create_mesh(8)
+    key = jax.random.PRNGKey(13)
+    n_chains, n_sweeps = 64, 4
+    s0 = random_spins(key, plan, n_chains)
+    u = jax.random.uniform(
+        jax.random.fold_in(key, 1), (n_sweeps, n_chains, plan.n_pad)
+    )
+    sharded = gibbs_sweeps_pallas_sharded(
+        key, hp, qc, plan, s0, n_sweeps, mesh,
+        kernel_fn=gibbs_sweeps_pallas_hbm,
+        interpret=True, uniforms=u, chain_block=8,
+    )
+    single = gibbs_sweeps_pallas_hbm(
+        key, hp, qc, plan, s0, n_sweeps, interpret=True, uniforms=u,
+        chain_block=8,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(to_original(plan, sharded)),
+        np.asarray(to_original(plan, single)),
+    )
+
+
 def test_int8_training_e2e_and_wiring():
     """SAMPLER_MATMUL_DTYPE='int8' trains end-to-end: the cached coupling is
     a QuantCoupling, the sampler_impl advertises the path, losses are

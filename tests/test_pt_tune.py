@@ -1,0 +1,94 @@
+"""Feedback-optimized PT ladders (ops/pt_tune.py) + PT_BETAS config hook."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from image_generation_tpu.config import TrainingConfig
+from image_generation_tpu.models.grbm import GRBMGraph
+from image_generation_tpu.ops.gibbs import build_plan, permuted_model
+from image_generation_tpu.ops.pt_tune import swap_acceptance, tune_pt_betas
+from image_generation_tpu.utils.subgraph import select_latent_graph
+from image_generation_tpu.utils.topology import chimera_graph
+
+
+@pytest.fixture(scope="module")
+def glass():
+    """Frustrated ±J spin glass — rough landscape so the geomspace ladder's
+    acceptance is visibly non-uniform."""
+    g, _ = select_latent_graph(chimera_graph(2, 2, 4), 24, 23)
+    graph = GRBMGraph.from_networkx(g)
+    rng = np.random.RandomState(7)
+    h = jnp.zeros(graph.n, jnp.float32)
+    j = jnp.asarray(rng.choice([-1.2, 1.2], graph.n_edges).astype(np.float32))
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    return plan, hp, cp
+
+
+def test_tuner_equalizes_acceptance(glass):
+    plan, hp, cp = glass
+    betas0 = np.geomspace(0.1, 1.0, 8)
+    tuned, diag0, diag1 = tune_pt_betas(
+        jax.random.PRNGKey(0), hp, cp, plan, betas0,
+        n_iters=3, n_chains=256, n_rounds=24,
+    )
+    # endpoints pinned, strictly ascending
+    assert tuned[0] == betas0[0] and tuned[-1] == betas0[-1]
+    assert np.all(np.diff(tuned) > 0)
+    # acceptance spread shrinks and the worst pair improves
+    assert np.std(diag1.accept) < np.std(diag0.accept)
+    assert diag1.accept.min() > diag0.accept.min()
+
+
+def test_acceptance_estimator_sane(glass):
+    plan, hp, cp = glass
+    diag = swap_acceptance(
+        jax.random.PRNGKey(1), hp, cp, plan, np.geomspace(0.2, 1.0, 6),
+        n_chains=128, n_rounds=12,
+    )
+    assert diag.accept.shape == (5,)
+    assert np.all((diag.accept > 0) & (diag.accept <= 1.0))
+    # a degenerate two-rung ladder at identical betas accepts everything
+    same = swap_acceptance(
+        jax.random.PRNGKey(2), hp, cp, plan, np.array([1.0, 1.0]),
+        n_chains=64, n_rounds=4,
+    )
+    np.testing.assert_allclose(same.accept, 1.0, atol=1e-6)
+
+
+def test_config_pt_betas_override():
+    cfg = TrainingConfig(SAMPLER="pt", PT_BETAS=[0.3, 0.6, 1.0])
+    assert cfg.PT_NUM_BETAS == 3 and cfg.PT_BETAS == (0.3, 0.6, 1.0)
+    # yaml round-trip keeps the ladder
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".yaml", delete=False) as f:
+        cfg.to_yaml(f.name)
+        cfg2 = TrainingConfig.from_yaml(f.name)
+    assert cfg2.PT_BETAS == cfg.PT_BETAS and cfg2.PT_NUM_BETAS == 3
+
+    with pytest.raises(ValueError, match="PT_BETAS"):
+        TrainingConfig(PT_BETAS=[0.6, 0.3, 1.0])  # not ascending
+    with pytest.raises(ValueError, match="PT_BETAS"):
+        TrainingConfig(PT_BETAS=[0.3, 0.9])  # doesn't end at 1.0
+
+
+def test_pt_betas_reach_the_sampler():
+    """A tuned ladder must actually shape the training ladder: chains get
+    PT_NUM_BETAS=len(PT_BETAS) rows and training runs end-to-end."""
+    from image_generation_tpu.training.trainer import Trainer
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, DATASET_SIZE=32,
+        N_REPLICAS=2, GIBBS_SWEEPS=2, GIBBS_BURN_IN=4,
+        QPU="Advantage2_prototype", SAMPLER="pt",
+        PT_BETAS=[0.25, 0.45, 0.7, 1.0], USE_PALLAS="off",
+    )
+    t = Trainer(config=cfg)
+    t.train_init(n_epochs=1)
+    assert t.state.chains.shape[0] == 4
+    t.train(1)
+    assert np.isfinite(t.losses["dvae_losses"]).all()
