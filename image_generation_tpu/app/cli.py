@@ -11,7 +11,13 @@ Usage:
   python -m image_generation_tpu.app.cli generate --model models/my_model
   python -m image_generation_tpu.app.cli tune --model models/my_model --epochs 5
   python -m image_generation_tpu.app.cli refresh --model models/my_model
+  python -m image_generation_tpu.app.cli tune-pt --model models/my_model
   python -m image_generation_tpu.app.cli models      # list saved models
+
+``tune-pt`` feedback-optimizes the parallel-tempering ladder for a model's
+GRBM (ops/pt_tune.py) and writes ``<model>/pt_betas.json``; every command
+accepts ``--pt-betas <json|comma list>`` (implies ``--sampler pt``) to
+sample with the tuned ladder.
 
 Multi-chip: ``--mesh auto`` (default) shards training over all local devices
 (``--mesh off`` forces one device; ``--mesh N`` uses N; ``--mesh RxG``,
@@ -49,6 +55,11 @@ def _build_trainer(args, for_load: bool = False):
         overrides["ADAM_MOMENT_DTYPE"] = args.adam_moment_dtype
     if getattr(args, "sampler_matmul_dtype", None) is not None:
         overrides["SAMPLER_MATMUL_DTYPE"] = args.sampler_matmul_dtype
+    if getattr(args, "sampler", None) is not None:
+        overrides["SAMPLER"] = args.sampler
+    if getattr(args, "pt_betas", None):
+        overrides["PT_BETAS"] = _parse_pt_betas(args.pt_betas)
+        overrides.setdefault("SAMPLER", "pt")  # a ladder implies PT
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -59,6 +70,22 @@ def _build_trainer(args, for_load: bool = False):
     return Trainer(
         qpu=cfg.QPU, config=cfg, mesh=parse_mesh(getattr(args, "mesh", "auto"))
     )
+
+
+def _parse_pt_betas(spec):
+    """``--pt-betas`` value → ladder list: either a comma-separated ladder
+    ('0.25,0.5,1.0') or a path to a ``pt_betas.json`` written by the
+    ``tune-pt`` command."""
+    p = Path(spec)
+    if p.suffix == ".json" and p.exists():
+        return [float(x) for x in json.loads(p.read_text())["betas"]]
+    try:
+        return [float(x) for x in str(spec).split(",")]
+    except ValueError:
+        raise SystemExit(
+            f"--pt-betas must be a comma-separated ascending ladder ending "
+            f"at 1.0, or a pt_betas.json path; got {spec!r}"
+        )
 
 
 def parse_mesh(spec):
@@ -271,6 +298,55 @@ def cmd_tune(args):
     print(f"saved: {out}")
 
 
+def cmd_tune_pt(args):
+    """Feedback-optimize the PT ladder for a saved model's GRBM
+    (ops/pt_tune.py: equal-barrier re-spacing of the swap-rejection curve).
+    Writes ``<model>/pt_betas.json``; pass it back via ``--pt-betas`` on
+    train/tune/generate to sample with the tuned ladder."""
+    import numpy as np
+
+    import jax
+
+    from image_generation_tpu.models.grbm import scaled_ising
+    from image_generation_tpu.ops.gibbs import permuted_model
+    from image_generation_tpu.ops.pt_tune import tune_pt_betas
+
+    trainer = _build_trainer(args, for_load=True)
+    model_dir = _model_path(args)
+    trainer.load(model_dir)
+    if trainer.fns is not None and trainer.fns.graph_sharded:
+        raise SystemExit(
+            "tune-pt builds a dense replicated coupling; not supported for "
+            "graph-sharded (beyond-HBM) models"
+        )
+    cfg = trainer.config
+    h, q = scaled_ising(
+        trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
+    )
+    hp, cp = permuted_model(trainer.plan, h, q)
+    betas0 = (
+        np.asarray(cfg.PT_BETAS, np.float64)
+        if cfg.PT_BETAS is not None
+        else np.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
+    )
+    tuned, diag0, diag1 = tune_pt_betas(
+        jax.random.PRNGKey(args.seed), hp, cp, trainer.plan, betas0,
+        n_iters=args.iters, n_chains=args.chains, verbose=True,
+    )
+    tuned[-1] = 1.0  # PT_BETAS contract: ladder ends exactly at the target
+    out_path = model_dir / "pt_betas.json"
+    out_path.write_text(json.dumps({
+        "betas": [float(b) for b in tuned],
+        "accept_before": [round(float(a), 4) for a in diag0.accept],
+        "accept_after": [round(float(a), 4) for a in diag1.accept],
+        "barrier_before": round(diag0.barrier, 4),
+        "barrier_after": round(diag1.barrier, 4),
+    }, indent=1))
+    ladder = ",".join(f"{b:.5g}" for b in tuned)
+    print(f"saved: {out_path}")
+    print(f"use with: --pt-betas {out_path}  (or --pt-betas {ladder})")
+
+
 def cmd_models(args):
     root = Path(args.workdir) / "models"
     if not root.exists():
@@ -331,6 +407,17 @@ def main(argv=None):
         "annealer's analog control error)",
     )
     common.add_argument(
+        "--sampler", default=None, choices=["gibbs", "pt", "exact"],
+        help="negative-phase sampler (default from YAML/config: gibbs; "
+        "'pt' runs a parallel-tempering ladder — see tune-pt)",
+    )
+    common.add_argument(
+        "--pt-betas", default=None,
+        help="explicit PT ladder: comma-separated ascending betas ending "
+        "at 1.0, or a pt_betas.json written by tune-pt (implies "
+        "--sampler pt)",
+    )
+    common.add_argument(
         "--progress-chunks", type=int, default=4,
         help="scan chunks per epoch for batch-granular progress (1 = one "
         "dispatch per epoch, max throughput; N adds N-1 extra dispatches)",
@@ -360,6 +447,15 @@ def main(argv=None):
     p = sub.add_parser("refresh", parents=[common])
     p.add_argument("--model", required=True)
     p.set_defaults(fn=cmd_refresh)
+
+    p = sub.add_parser("tune-pt", parents=[common])
+    p.add_argument("--model", required=True)
+    p.add_argument("--iters", type=int, default=3,
+                   help="equal-barrier feedback iterations")
+    p.add_argument("--chains", type=int, default=256,
+                   help="measurement chains per ladder rung")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_tune_pt)
 
     p = sub.add_parser("models")
     p.set_defaults(fn=cmd_models)

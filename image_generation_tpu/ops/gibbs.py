@@ -309,6 +309,7 @@ def pt_round(
     energies_fn=None,
     energies: Optional[jax.Array] = None,
     return_energies: bool = False,
+    aux=None,
 ):
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
@@ -329,6 +330,11 @@ def pt_round(
         since a configuration's energy doesn't depend on its ladder row).
       return_energies: return ``(spins, energies)`` so callers can carry
         the ladder energies into the next round.
+      aux: optional pytree of per-replica payloads with leading (T, C)
+        dims; leaves are permuted by the SAME accepted swaps as the
+        configurations (replica-identity labels for round-trip/flow
+        diagnostics, per-replica observables, ...).  When given, the
+        return is ``(spins, energies, aux)``.
 
     Replica exchange: adjacent pairs (t, t+1) attempt a configuration swap
     accepted with probability min(1, exp((β_t − β_{t+1})(E_t − E_{t+1}))),
@@ -363,7 +369,7 @@ def pt_round(
     if energies is None:
         e = energies_fn(hp, coupling_p, spins_p)  # (T, C), once per round
 
-    def swap_pass(s, e, k, parity):
+    def swap_pass(s, e, aux, k, parity):
         delta = (betas[:-1] - betas[1:])[:, None] * (e[:-1] - e[1:])  # (T-1, C)
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]
@@ -373,21 +379,27 @@ def pt_round(
         swap_prev = jnp.concatenate([pad, accept], axis=0)  # row t ↔ t−1
 
         def permute(x):
+            # broadcast the (T, C) swap masks over any trailing payload dims
+            m_next = swap_next.reshape(swap_next.shape + (1,) * (x.ndim - 2))
+            m_prev = swap_prev.reshape(swap_prev.shape + (1,) * (x.ndim - 2))
             return jnp.where(
-                swap_next, jnp.roll(x, -1, axis=0),
-                jnp.where(swap_prev, jnp.roll(x, 1, axis=0), x),
+                m_next, jnp.roll(x, -1, axis=0),
+                jnp.where(m_prev, jnp.roll(x, 1, axis=0), x),
             )
 
-        # energies travel WITH the configurations: permuting e by the same
-        # masks is bitwise what recomputing it after the swap would give
-        s = jnp.where(
-            swap_next[..., None], jnp.roll(s, -1, axis=0),
-            jnp.where(swap_prev[..., None], jnp.roll(s, 1, axis=0), s),
-        )
-        return s, permute(e)
+        # energies (and any aux payload) travel WITH the configurations:
+        # permuting by the same masks is bitwise what recomputing after the
+        # swap would give
+        s = permute(s)
+        e = permute(e)
+        if aux is not None:
+            aux = jax.tree.map(permute, aux)
+        return s, e, aux
 
-    spins_p, e = swap_pass(spins_p, e, k_even, 0)
-    spins_p, e = swap_pass(spins_p, e, k_odd, 1)
+    spins_p, e, aux = swap_pass(spins_p, e, aux, k_even, 0)
+    spins_p, e, aux = swap_pass(spins_p, e, aux, k_odd, 1)
+    if aux is not None:
+        return spins_p, e, aux
     return (spins_p, e) if return_energies else spins_p
 
 

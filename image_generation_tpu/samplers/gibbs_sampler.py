@@ -92,9 +92,16 @@ class PTSampler(_PlanCache):
         n_rounds: int = 16,
         sweeps_per_round: int = 4,
         persistent: bool = False,
+        betas=None,
     ):
         super().__init__()
-        self.betas = jnp.geomspace(beta_min, 1.0, n_betas)
+        # explicit ladder (e.g. feedback-optimized via ops/pt_tune.py,
+        # plumbed from TrainingConfig.PT_BETAS) overrides geomspace
+        self.betas = (
+            jnp.asarray(betas, jnp.float32)
+            if betas is not None
+            else jnp.geomspace(beta_min, 1.0, n_betas)
+        )
         self.n_rounds = n_rounds
         self.sweeps_per_round = sweeps_per_round
         self.persistent = persistent

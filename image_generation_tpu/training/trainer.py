@@ -408,7 +408,7 @@ class Trainer:
                 backend = get_sampler(
                     "pt", n_betas=cfg.PT_NUM_BETAS, beta_min=cfg.PT_BETA_MIN,
                     sweeps_per_round=max(cfg.GIBBS_SWEEPS, 1),
-                    persistent=cfg.PERSISTENT_CHAINS,
+                    persistent=cfg.PERSISTENT_CHAINS, betas=cfg.PT_BETAS,
                 )
             elif cfg.SAMPLER == "exact":
                 backend = get_sampler("exact")

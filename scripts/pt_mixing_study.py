@@ -42,6 +42,8 @@ def main(argv=None):
     ap.add_argument("--beta-target", type=float, default=2.0)
     ap.add_argument("--beta-min", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tune-iters", type=int, default=3,
+                    help="equal-barrier feedback iterations (ops/pt_tune.py)")
     ap.add_argument("--out", default="runs/pt_mixing_study.json")
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args(argv)
@@ -99,12 +101,12 @@ def main(argv=None):
         return means, mins, e_fin
 
     @jax.jit
-    def run_pt(key, ladder0):
+    def run_pt(key, ladder0, bs):
         e0 = ising_energies(hp, coupling, ladder0)
 
         def body(carry, k):
             s, e = pt_round(
-                k, hp, coupling, plan, carry[0], betas, spr,
+                k, hp, coupling, plan, carry[0], bs, spr,
                 energies=carry[1], return_energies=True,
             )
             return (s, e), (e[-1].mean(), e[-1].min())
@@ -114,22 +116,77 @@ def main(argv=None):
         )
         return means, mins, e_fin[-1]
 
+    @jax.jit
+    def run_flow(key, ladder0, bs):
+        """Replica round-trip count: the standard PT flow diagnostic.
+        Identity labels ride pt_round's aux permutation; a round trip is a
+        replica travelling hot (row 0) → cold (row T-1) → hot again."""
+        e0 = ising_energies(hp, coupling, ladder0)
+        rows = jnp.arange(t_dim)[:, None] * jnp.ones((1, c_pt), jnp.int32)
+
+        def body(carry, k):
+            s, e, direc, trips = carry
+            s, e, direc = pt_round(
+                k, hp, coupling, plan, s, bs, spr,
+                energies=e, aux=direc,
+            )
+            direc = jnp.where((rows == t_dim - 1) & (direc == 1), -1, direc)
+            arrived = (rows == 0) & (direc == -1)
+            trips = trips + arrived.sum()
+            direc = jnp.where(rows == 0, 1, direc)
+            return (s, e, direc, trips), None
+
+        direc0 = jnp.zeros((t_dim, c_pt), jnp.int32).at[0].set(1)
+        (_, _, _, trips), _ = jax.lax.scan(
+            body, (ladder0, e0, direc0, jnp.int32(0)),
+            jax.random.split(key, rounds),
+        )
+        return trips
+
+    # third arm: the SAME ladder size/budget, rung placement tuned by the
+    # equal-barrier feedback schedule (ops/pt_tune.py) instead of geomspace
+    from image_generation_tpu.ops.pt_tune import tune_pt_betas
+
+    t0 = time.perf_counter()
+    tuned, diag_geo, diag_tuned = tune_pt_betas(
+        jax.random.fold_in(key, 3), hp, coupling, plan, np.asarray(betas),
+        n_iters=args.tune_iters, n_chains=min(args.chains, 256),
+    )
+    tune_wall = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     s0 = random_spins(k_g, plan, args.chains)
     g_mean, g_min, g_e = run_gibbs(k_run, s0)
     l0 = random_spins(k_p, plan, t_dim * c_pt).reshape(t_dim, c_pt, plan.n_pad)
-    p_mean, p_min, p_e = run_pt(k_run, l0)
-    g_mean, g_min, p_mean, p_min = map(np.asarray, (g_mean, g_min, p_mean, p_min))
+    p_mean, p_min, p_e = run_pt(k_run, l0, betas)
+    t_mean, t_min, t_e = run_pt(k_run, l0, jnp.asarray(tuned, jnp.float32))
+    trips_geo = int(run_flow(k_run, l0, betas))
+    trips_tuned = int(run_flow(k_run, l0, jnp.asarray(tuned, jnp.float32)))
+    g_mean, g_min, p_mean, p_min, t_mean, t_min = map(
+        np.asarray, (g_mean, g_min, p_mean, p_min, t_mean, t_min)
+    )
     wall = time.perf_counter() - t0
 
     summary = {
         "final_mean_e_gibbs": float(g_mean[-1]),
         "final_mean_e_pt": float(p_mean[-1]),
+        "final_mean_e_pt_tuned": float(t_mean[-1]),
         "best_e_gibbs": float(g_min.min()),
         "best_e_pt": float(p_min.min()),
+        "best_e_pt_tuned": float(t_min.min()),
         # mean over the equilibrated tail (last quarter of the run)
         "tail_mean_e_gibbs": float(g_mean[-rounds // 4:].mean()),
         "tail_mean_e_pt": float(p_mean[-rounds // 4:].mean()),
+        "tail_mean_e_pt_tuned": float(t_mean[-rounds // 4:].mean()),
+        # ladder-quality diagnostics (ops/pt_tune.py): per-pair swap
+        # acceptance spread before/after equal-barrier re-spacing
+        "accept_geomspace_min": float(diag_geo.accept.min()),
+        "accept_geomspace_std": float(np.std(diag_geo.accept)),
+        "accept_tuned_min": float(diag_tuned.accept.min()),
+        "accept_tuned_std": float(np.std(diag_tuned.accept)),
+        # completed hot→cold→hot replica round trips over the whole run
+        "round_trips_geomspace": trips_geo,
+        "round_trips_tuned": trips_tuned,
     }
     summary["pt_mixes_better"] = (
         summary["tail_mean_e_pt"] < summary["tail_mean_e_gibbs"]
@@ -142,22 +199,38 @@ def main(argv=None):
             "rounds": rounds, "sweeps_per_round": spr,
             "beta_target": args.beta_target, "beta_min": args.beta_min,
             "instance": "random +-J, h=0", "seed": args.seed,
+            "tune_iters": args.tune_iters,
         },
+        "tuned_betas": [round(float(b), 5) for b in tuned],
         "per_round": {
             "gibbs_mean_e": [round(float(x), 3) for x in g_mean],
             "pt_target_mean_e": [round(float(x), 3) for x in p_mean],
+            "pt_tuned_target_mean_e": [round(float(x), 3) for x in t_mean],
         },
         "summary": summary,
         "wall_s": round(wall, 1),
+        "tune_wall_s": round(tune_wall, 1),
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(out, indent=1))
     print(
         f"{graph.n} spins / {graph.n_edges} +-J couplers, beta={args.beta_target}: "
         f"tail mean E  gibbs {summary['tail_mean_e_gibbs']:.1f}  "
-        f"pt {summary['tail_mean_e_pt']:.1f}   best E  gibbs "
-        f"{summary['best_e_gibbs']:.1f}  pt {summary['best_e_pt']:.1f}   "
+        f"pt {summary['tail_mean_e_pt']:.1f}  "
+        f"pt-tuned {summary['tail_mean_e_pt_tuned']:.1f}   best E  gibbs "
+        f"{summary['best_e_gibbs']:.1f}  pt {summary['best_e_pt']:.1f}  "
+        f"pt-tuned {summary['best_e_pt_tuned']:.1f}   "
         f"pt_mixes_better={summary['pt_mixes_better']}  ({wall:.1f}s)"
+    )
+    print(
+        f"ladder acceptance min/std: geomspace "
+        f"{summary['accept_geomspace_min']:.3f}/{summary['accept_geomspace_std']:.3f}"
+        f" -> tuned {summary['accept_tuned_min']:.3f}/"
+        f"{summary['accept_tuned_std']:.3f}  (tune {tune_wall:.1f}s)"
+    )
+    print(
+        f"replica round trips ({rounds} rounds x {c_pt} columns): "
+        f"geomspace {trips_geo}  tuned {trips_tuned}"
     )
     print(f"wrote {args.out}")
 

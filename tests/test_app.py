@@ -127,3 +127,49 @@ def test_cli_train_generate_tune(tmp_path):
     original = json.loads((model_dir / "losses.json").read_text())
     assert losses["mse_losses"][:4] == original["mse_losses"]
     assert losses["mse_losses"][4:] != original["mse_losses"]
+
+
+def test_parse_pt_betas(tmp_path):
+    from image_generation_tpu.app.cli import _parse_pt_betas
+
+    assert _parse_pt_betas("0.25,0.5,1.0") == [0.25, 0.5, 1.0]
+    p = tmp_path / "pt_betas.json"
+    p.write_text(json.dumps({"betas": [0.3, 0.7, 1.0]}))
+    assert _parse_pt_betas(str(p)) == [0.3, 0.7, 1.0]
+    with pytest.raises(SystemExit, match="pt-betas"):
+        _parse_pt_betas("0.25,garbage")
+
+
+@pytest.mark.slow
+def test_cli_tune_pt_roundtrip(tmp_path):
+    """train (PT sampler) → tune-pt writes pt_betas.json → generate with the
+    tuned ladder (the CLI spelling of ops/pt_tune.py's offline loop)."""
+    cli_main([
+        "--workdir", str(tmp_path), "train", "--name", "ptm",
+        "--qpu", "Advantage2_prototype", "--latents", "32",
+        "--dataset-size", "32", "--batch-size", "16", "--sweeps", "2",
+        "--epochs", "1", "--sampler", "pt",
+    ])
+    params = json.loads(
+        (tmp_path / "models" / "ptm" / "parameters.json").read_text()
+    )
+    assert params["n_epochs"] == 1
+    cli_main([
+        "--workdir", str(tmp_path), "tune-pt", "--model", "ptm",
+        "--iters", "1", "--chains", "32",
+    ])
+    out = tmp_path / "models" / "ptm" / "pt_betas.json"
+    meta = json.loads(out.read_text())
+    betas = meta["betas"]
+    assert betas[-1] == 1.0 and all(
+        b2 > b1 for b1, b2 in zip(betas, betas[1:])
+    )
+    assert len(meta["accept_after"]) == len(betas) - 1
+    cli_main([
+        "--workdir", str(tmp_path), "generate", "--model", "ptm",
+        "--num-reads", "16", "--pt-betas", str(out),
+    ])
+    gen = json.loads(
+        (tmp_path / "generated_json" / "generated_epoch_0.json").read_text()
+    )
+    assert gen  # decoded grid written

@@ -168,3 +168,45 @@ def test_spins_stay_pm1(tiny):
     s0 = jnp.ones((8, plan.n_pad))
     s = gibbs_sweeps(jax.random.PRNGKey(9), hp, cp, plan, s0, n_sweeps=3)
     assert set(np.unique(np.asarray(s))) <= {-1.0, 1.0}
+
+
+def test_pt_round_aux_rides_the_swap_permutation(tiny):
+    """aux payloads (replica-identity labels, flow diagnostics) must permute
+    bitwise with the configurations.  With identity sweeps the round is
+    swaps-only, so an aux copy of the input ladder must exactly equal the
+    output ladder — and carried energies must match a recompute."""
+    from image_generation_tpu.ops.gibbs import pt_round
+
+    graph, h, _ = tiny
+    rng = np.random.RandomState(3)
+    j = jnp.asarray(rng.choice([-1.0, 1.0], graph.n_edges).astype(np.float32))
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    t_dim, c_dim = 6, 32
+    ladder0 = random_spins(
+        jax.random.PRNGKey(4), plan, t_dim * c_dim
+    ).reshape(t_dim, c_dim, plan.n_pad)
+    betas = jnp.geomspace(0.2, 1.0, t_dim)
+    e0 = ising_energies(hp, cp, ladder0)
+
+    def sweeps_id(k, h_, c_, p_, s_, n_, beta=1.0, track_delta_e=False):
+        return (s_, jnp.zeros(s_.shape[0])) if track_delta_e else s_
+
+    # aux carries (a spin copy, per-replica int labels): both must travel
+    labels0 = jnp.arange(t_dim)[:, None] * jnp.ones((1, c_dim), jnp.int32)
+    s1, e1, aux1 = pt_round(
+        jax.random.PRNGKey(8), hp, cp, plan, ladder0, betas, 2,
+        sweeps_fn=sweeps_id, energies=e0,
+        aux={"spins": ladder0, "label": labels0},
+    )
+    np.testing.assert_array_equal(np.asarray(aux1["spins"]), np.asarray(s1))
+    np.testing.assert_allclose(
+        np.asarray(e1), np.asarray(ising_energies(hp, cp, s1)), rtol=1e-5
+    )
+    # labels are a permutation within every chain column
+    lab = np.asarray(aux1["label"])
+    assert all(
+        sorted(lab[:, c].tolist()) == list(range(t_dim)) for c in range(c_dim)
+    )
+    # some swap actually happened (otherwise the test is vacuous)
+    assert (lab != np.asarray(labels0)).any()
