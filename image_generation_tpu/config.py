@@ -65,7 +65,8 @@ class TrainingConfig:
     # rounded to 255 levels of max|J|/127 — tighter than the reference
     # annealer's analog control error) on the 2×-rate int8 MXU, also
     # halving the HBM-streaming kernel's coupling traffic vs bf16.
-    # Opt-in; not composable with GRAPH_SHARDED.
+    # Opt-in; composes with GRAPH_SHARDED (int8 coupling rows shard,
+    # partial fields psum in int32 — exact for ±1 × int8).
     ADAM_MOMENT_DTYPE: str = "float32"  # storage dtype of the DVAE Adam
     # moments (mu AND nu): "float32" (default — exact reference semantics)
     # or "bfloat16" — halves optimizer-state HBM footprint/traffic, the

@@ -45,6 +45,13 @@ ladder shards T over ``data`` (replica exchange = cross-device ppermute)
 while the flattened (T·C, n_pad) rows pass through this sweep with the
 graph over ``chain`` — a 2-D (ladder × graph) sampler layout.
 
+Composes with the int8-quantized sampler (ops/quant.py): a ``QuantCoupling``
+shards its int8 rows the same way (scale replicated); partial fields
+accumulate AND psum in int32 — exact for ±1 × int8 — with one f32
+scale-out after the collective, so the composition samples the quantized
+model bit-identically regardless of the graph-axis split, and beyond-HBM
+coupling shards shrink another 2× vs bf16.
+
 Why XLA matmuls here rather than the Pallas kernels (ops/gibbs_pallas*.py):
 the kernels' advantage is keeping SPINS resident in VMEM across the whole
 multi-sweep loop, which the per-color psum boundary would break anyway (a
@@ -65,6 +72,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from image_generation_tpu.ops.gibbs import GibbsPlan
+from image_generation_tpu.ops.quant import QuantCoupling
 
 __all__ = [
     "gibbs_sweeps_graph_sharded",
@@ -82,6 +90,14 @@ def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> boo
         graph_axis in mesh.axis_names
         and plan.n_pad % mesh.shape[graph_axis] == 0
     )
+
+
+def _coupling_spec(coupling_p, graph_axis):
+    """shard_map in_spec for the coupling argument: row-sharded matrix, or
+    the (q=row-sharded, scale=replicated) pytree of a QuantCoupling."""
+    if isinstance(coupling_p, QuantCoupling):
+        return QuantCoupling(q=P(graph_axis, None), scale=P())
+    return P(graph_axis, None)
 
 
 def _sweep_body(
@@ -111,21 +127,35 @@ def _sweep_body(
 
     beta = jnp.asarray(beta, dtype=s_loc.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
-    a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
+    # int8-quantized coupling shard (ops/quant.py): partial fields
+    # accumulate in int32 — EXACT for ±1 × int8 — so the psum over the
+    # graph axis is exact too and the scale-out happens once, after the
+    # collective; the result samples the quantized model identically to
+    # the single-device int8 path (``matmul_dtype`` is ignored).
+    quant = isinstance(a_loc, QuantCoupling)
+    if quant:
+        a_mm, q_scale = a_loc.q, a_loc.scale
+    else:
+        a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
 
     def sweep(carry, k_sweep):
         s, de = carry
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
-            s_mm = s.astype(matmul_dtype) if matmul_dtype else s
+            if quant:
+                s_mm = s.astype(jnp.int8)
+            else:
+                s_mm = s.astype(matmul_dtype) if matmul_dtype else s
             partial_f = jax.lax.dot_general(
                 s_mm,
                 jax.lax.slice_in_dim(a_mm, start, stop, axis=1),
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
             )
             fields = jax.lax.psum(partial_f, graph_axis)
+            if quant:
+                fields = fields.astype(jnp.float32) * q_scale
             fields = fields + jax.lax.slice_in_dim(hp, start, stop)
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)
@@ -213,6 +243,7 @@ def gibbs_sweeps_graph_sharded(
     row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
     beta_arr = jnp.asarray(beta)
     beta_spec = P() if beta_arr.ndim == 0 else P(row_axis)
+    coupling_spec = _coupling_spec(coupling_p, graph_axis)
     out_specs = P(row_axis, graph_axis)
     if track_delta_e:
         # delta energies are psum'd over the graph axis inside the body →
@@ -232,7 +263,7 @@ def gibbs_sweeps_graph_sharded(
         in_specs=(
             P(),                       # key (replicated; folded per shard)
             P(),                       # hp (replicated — n_pad f32 is tiny)
-            P(graph_axis, None),       # coupling rows
+            coupling_spec,             # coupling rows (q rows + scale if int8)
             P(row_axis, graph_axis),   # spins
             beta_spec,
         ),
@@ -246,6 +277,20 @@ def _energy_body(hp, a_loc, s_loc, graph_axis, matmul_dtype):
     l_loc = s_loc.shape[-1]
     g_idx = jax.lax.axis_index(graph_axis)
     hp_loc = jax.lax.dynamic_slice_in_dim(hp, g_idx * l_loc, l_loc)
+    if isinstance(a_loc, QuantCoupling):
+        # quantized-model energies, exactly: int32 partials are exact for
+        # ±1 × int8, the reduce_scatter stays in int32, scale-out after
+        partial_sa = jax.lax.dot_general(
+            s_loc.astype(jnp.int8),
+            a_loc.q,
+            dimension_numbers=(((s_loc.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sa_loc = jax.lax.psum_scatter(
+            partial_sa, graph_axis, scatter_dimension=s_loc.ndim - 1, tiled=True
+        ).astype(jnp.float32) * a_loc.scale
+        e_part = s_loc @ hp_loc + 0.5 * jnp.sum(s_loc * sa_loc, axis=-1)
+        return jax.lax.psum(e_part, graph_axis)
     if matmul_dtype is not None:
         partial_sa = jax.lax.dot_general(
             s_loc.astype(matmul_dtype),
@@ -293,7 +338,11 @@ def ising_energies_graph_sharded(
             matmul_dtype=matmul_dtype,
         ),
         mesh=mesh,
-        in_specs=(P(), P(graph_axis, None), P(row_axis, *lead, graph_axis)),
+        in_specs=(
+            P(),
+            _coupling_spec(coupling_p, graph_axis),
+            P(row_axis, *lead, graph_axis),
+        ),
         out_specs=P(row_axis, *lead),
         check_vma=False,
     )

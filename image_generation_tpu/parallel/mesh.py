@@ -154,9 +154,15 @@ def shard_train_state(
         else:
             spec = P(rows_ax, "chain")
         chains = jax.device_put(state.chains, NamedSharding(mesh, spec))
-        coupling = jax.device_put(
-            state.sampler_coupling, NamedSharding(mesh, P("chain", None))
-        )
+        cp = state.sampler_coupling
+        row_sharded = NamedSharding(mesh, P("chain", None))
+        if hasattr(cp, "q"):  # QuantCoupling: int8 rows shard, scale replicates
+            coupling = cp._replace(
+                q=jax.device_put(cp.q, row_sharded),
+                scale=jax.device_put(cp.scale, NamedSharding(mesh, P())),
+            )
+        else:
+            coupling = jax.device_put(cp, row_sharded)
         state = replicate(
             state.replace(chains=None, sampler_coupling=None), mesh
         ).replace(chains=chains, sampler_coupling=coupling)

@@ -276,16 +276,11 @@ def make_train_fns(
         )
     )
     if graph_sharded:
-        if int8_sampler:
-            # the graph-partitioned sweep's psum-of-partial-fields layout is
-            # not int8-wired (partial int32 sums would need their own
-            # collective dtype handling) — fail loudly rather than silently
-            # sampling a different model than requested
-            raise ValueError(
-                "SAMPLER_MATMUL_DTYPE='int8' is not supported together with "
-                "graph-sharded sampling (GRAPH_SHARDED); use 'auto'/"
-                "'bfloat16' there."
-            )
+        # composes with int8: the quantized coupling's int8 rows shard the
+        # same way (QuantCoupling q over 'chain', scale replicated) and the
+        # partial-fields psum rides int32 — exact for ±1 × int8 — with one
+        # scale-out after the collective (ops/gibbs_graph_sharded.py);
+        # beyond-HBM couplings shrink another 2× vs bf16
         pallas_ok = False  # the kernel holds full coupling rows per chip
         sampler_impl = "xla_graph_sharded"
     elif pallas_ok:
@@ -444,11 +439,18 @@ def make_train_fns(
         if graph_sharded:
             # constrain so GSPMD CONSTRUCTS the dense matrix row-sharded —
             # a replicated intermediate would defeat the memory point
+            # (for a QuantCoupling: its int8 rows; the f32 scale replicates)
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            coupling_p = jax.lax.with_sharding_constraint(
-                coupling_p, NamedSharding(mesh, P("chain", None))
-            )
+            row_sharded = NamedSharding(mesh, P("chain", None))
+            if int8_sampler:
+                coupling_p = coupling_p._replace(
+                    q=jax.lax.with_sharding_constraint(coupling_p.q, row_sharded)
+                )
+            else:
+                coupling_p = jax.lax.with_sharding_constraint(
+                    coupling_p, row_sharded
+                )
         return hp, coupling_p
 
     def refresh_chains(key, grbm_params: GRBMParams, chains: jax.Array, n_sweeps: int):

@@ -297,25 +297,104 @@ def test_int8_training_e2e_and_wiring():
     )
 
 
-def test_int8_rejects_graph_sharded():
-    from image_generation_tpu.config import TrainingConfig
-    from image_generation_tpu.models.grbm import GRBMGraph
-    from image_generation_tpu.parallel.mesh import create_mesh
-    from image_generation_tpu.training.step import make_train_fns
-    from image_generation_tpu.utils.topology import chimera_graph
-
-    g, _ = select_latent_graph(chimera_graph(2, 2, 4), 16, 15)
-    graph = GRBMGraph.from_networkx(g)
-    cfg = TrainingConfig(
-        N_LATENTS=16, BATCH_SIZE=8, NUM_READS=16, GRAPH_SHARDED="on",
-        SAMPLER_MATMUL_DTYPE="int8", USE_PALLAS="off",
+def test_int8_graph_sharded_sweep_and_energies(tiny):
+    """int8 × graph partitioning: the QuantCoupling's int8 rows shard over
+    the graph axis, partial fields psum in int32 (exact for ±1 × int8), and
+    the chains sample the QUANTIZED model's Boltzmann distribution.  Also:
+    the sharded int8 sweep is bit-exact across graph-axis splits (int32
+    partial sums have no reduction-order sensitivity at all), and the
+    reduce_scatter energies match the single-device quantized energies."""
+    from image_generation_tpu.ops.gibbs_graph_sharded import (
+        gibbs_sweeps_graph_sharded,
+        ising_energies_graph_sharded,
     )
-    mesh = create_mesh(8, shape=(1, 8))
-    plan = build_plan(graph, pad_to=16)
-    if plan.n_pad % 8 != 0:
-        pytest.skip("plan does not tile the mesh")
-    with pytest.raises(ValueError, match="int8"):
-        make_train_fns(cfg, graph, total_steps=4, plan=plan, mesh=mesh)
+    from image_generation_tpu.parallel.mesh import create_mesh
+
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    qc = quantize_coupling(cp)
+
+    # bit-exact across graph-axis sizes (stronger than the f32 medium-graph
+    # invariance test: int32 accumulation is order-exact unconditionally)
+    key = jax.random.PRNGKey(2)
+    s0 = np.asarray(random_spins(jax.random.PRNGKey(3), plan, 64))
+    outs = [
+        np.asarray(
+            gibbs_sweeps_graph_sharded(
+                key, hp, qc, plan, jnp.asarray(s0), 8, create_mesh(8, shape=shape)
+            )
+        )
+        for shape in [(8, 1), (4, 2), (2, 4)]
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+    # stationary distribution = exact Boltzmann of the quantized model
+    mesh = create_mesh(8)  # (data=4, chain=2)
+    s0 = random_spins(jax.random.PRNGKey(4), plan, 2048)
+    s = jax.jit(
+        lambda k, s: gibbs_sweeps_graph_sharded(k, hp, qc, plan, s, 60, mesh)
+    )(jax.random.PRNGKey(5), s0)
+    m1, m2 = _empirical_moments(to_original(plan, s), graph)
+    jq = _quantized_edge_j(j, qc.scale)
+    e1, e2 = exact_moments(np.asarray(h), graph.edge_i, graph.edge_j, jq)
+    np.testing.assert_allclose(m1, e1, atol=0.09)
+    np.testing.assert_allclose(m2, e2, atol=0.09)
+
+    # energies through the int32 reduce_scatter = single-device quantized;
+    # the coupling term is exact (int32), only the f32 h·s partials sum in
+    # shard order → f32-rounding tolerance
+    e_sharded = ising_energies_graph_sharded(hp, qc, s, mesh)
+    e_single = ising_energies(hp, qc, jnp.asarray(np.asarray(s)))
+    np.testing.assert_allclose(
+        np.asarray(e_sharded), np.asarray(e_single), atol=1e-5
+    )
+
+
+def test_int8_graph_sharded_train_step():
+    """GRAPH_SHARDED='on' + SAMPLER_MATMUL_DTYPE='int8' trains end to end:
+    the cached coupling is a QuantCoupling whose int8 rows are sharded over
+    'chain' (never materialized whole), scale replicated, and the sampler
+    path advertises the composition."""
+    from jax.sharding import PartitionSpec as P
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.parallel.mesh import (
+        create_mesh,
+        shard_batch,
+        shard_train_state,
+    )
+    from image_generation_tpu.training.step import make_train_fns
+    from image_generation_tpu.utils.topology import zephyr_graph
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=64, BATCH_SIZE=32, N_REPLICAS=2,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=4, COMPUTE_DTYPE="float32",
+        SAMPLER_MATMUL_DTYPE="int8", GRAPH_SHARDED="on",
+    )
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    graph = GRBMGraph.from_networkx(g)
+    mesh = create_mesh(8)
+    fns = make_train_fns(cfg, graph, total_steps=10, mesh=mesh)
+    assert fns.graph_sharded
+    assert fns.sampler_impl == "xla_graph_sharded+int8"
+
+    images = jnp.round(
+        jax.random.uniform(jax.random.PRNGKey(0), (cfg.BATCH_SIZE, 32, 32, 1))
+    )
+    state = fns.init(jax.random.PRNGKey(1), images[:1])
+    assert isinstance(state.sampler_coupling, QuantCoupling)
+    assert state.sampler_coupling.q.dtype == jnp.int8
+    assert state.sampler_coupling.q.sharding.spec in (
+        P("chain"), P("chain", None),
+    )
+    st = shard_train_state(state, mesh, graph_sharded=True)
+    assert st.sampler_coupling.q.sharding.spec == P("chain", None)
+    s2, m2 = fns.step(st, shard_batch(images, mesh), jnp.asarray(0))
+    assert np.isfinite(float(m2.dvae_loss))
+    assert isinstance(s2.sampler_coupling, QuantCoupling)
+    assert s2.chains.sharding.spec == P("data", "chain")
 
 
 def test_config_rejects_unknown_sampler_dtype():
