@@ -40,10 +40,17 @@ from image_generation_tpu.ops.gibbs import (
     GibbsPlan,
     gibbs_sweeps,
     ising_energies,
+    pt_round,
     random_spins,
 )
 
-__all__ = ["PTLadderDiagnostics", "swap_acceptance", "tune_pt_betas"]
+__all__ = [
+    "PTLadderDiagnostics",
+    "make_acceptance_measurer",
+    "round_trip_count",
+    "swap_acceptance",
+    "tune_pt_betas",
+]
 
 
 class PTLadderDiagnostics(NamedTuple):
@@ -52,32 +59,30 @@ class PTLadderDiagnostics(NamedTuple):
     barrier: float           # Λ(1) = Σ rejection — lower is better mixing
 
 
-def swap_acceptance(
-    key: jax.Array,
+def make_acceptance_measurer(
     hp: jax.Array,
     coupling_p,
     plan: GibbsPlan,
-    betas: np.ndarray,
+    t_dim: int,
     n_chains: int = 256,
     n_rounds: int = 24,
     sweeps_per_round: int = 2,
     burn_rounds: int = 8,
     matmul_dtype=None,
-) -> PTLadderDiagnostics:
-    """Estimate per-pair swap acceptance E[min(1, e^{Δβ·ΔE})] at ``betas``.
+):
+    """Build the jitted (key, flat_spins, betas) → (spins, accept) kernel.
 
-    Runs a real PT ladder (sweeps at every rung; the acceptance estimator
-    averages the analytic per-chain acceptance probability, which has far
-    lower variance than counting realized swaps).
+    Betas are a TRACED argument, so successive tuner iterations (same T,
+    different rung values) reuse ONE compilation — essential on the
+    remote-TPU relay where each compile costs 60-150 s at scale.  Reused
+    across ``swap_acceptance`` calls via the ``measurer=`` parameter
+    (``tune_pt_betas`` does this automatically).
     """
-    betas = np.asarray(betas, np.float64)
-    t_dim = len(betas)
-    b = jnp.asarray(betas, jnp.float32)
-    beta_per_chain = jnp.repeat(b, n_chains)
 
     @jax.jit
-    def rounds(key, flat):
+    def rounds(key, flat, b):
         """burn + measure: returns final state and summed pair acceptance."""
+        beta_per_chain = jnp.repeat(b, n_chains)
 
         def one(carry, k):
             flat, acc, measuring = carry
@@ -105,13 +110,121 @@ def swap_acceptance(
         )
         return flat, acc / n_rounds
 
+    return rounds
+
+
+def swap_acceptance(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p,
+    plan: GibbsPlan,
+    betas: np.ndarray,
+    n_chains: int = 256,
+    n_rounds: int = 24,
+    sweeps_per_round: int = 2,
+    burn_rounds: int = 8,
+    matmul_dtype=None,
+    measurer=None,
+) -> PTLadderDiagnostics:
+    """Estimate per-pair swap acceptance E[min(1, e^{Δβ·ΔE})] at ``betas``.
+
+    Runs a real PT ladder (sweeps at every rung; the acceptance estimator
+    averages the analytic per-chain acceptance probability, which has far
+    lower variance than counting realized swaps).  ``measurer``: a
+    ``make_acceptance_measurer`` kernel to reuse across calls (must have
+    been built with the same model and T/chain/round parameters).
+    """
+    betas = np.asarray(betas, np.float64)
+    t_dim = len(betas)
+    if measurer is None:
+        measurer = make_acceptance_measurer(
+            hp, coupling_p, plan, t_dim, n_chains, n_rounds,
+            sweeps_per_round, burn_rounds, matmul_dtype,
+        )
     k_init, k_run = jax.random.split(key)
     flat0 = random_spins(k_init, plan, t_dim * n_chains)
-    _, acc = rounds(k_run, flat0)
+    _, acc = measurer(k_run, flat0, jnp.asarray(betas, jnp.float32))
     acc = np.clip(np.asarray(acc, np.float64), 1e-4, 1.0)
     return PTLadderDiagnostics(
         betas=betas, accept=acc, barrier=float(np.sum(1.0 - acc))
     )
+
+
+def round_trip_count(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p,
+    plan: GibbsPlan,
+    betas,
+    n_chains: int,
+    n_rounds: int,
+    sweeps_per_round: int = 2,
+    matmul_dtype=None,
+):
+    """Replica-flow diagnostics: completed hot→cold→hot round trips (the
+    gold standard — a ladder with a dead swap pair scores ~0 regardless of
+    its per-pair acceptances elsewhere) plus mean LADDER COVERAGE, the
+    average fraction of the ladder each replica visited
+    (mean (max_row − min_row)/(T−1)).  Coverage resolves partial flow when
+    the run is shorter than a diffusive round-trip time (≈ T²/accept
+    rounds — thousands at T=32), where trip counts are all zero.
+
+    Per-replica labels (direction, min/max row reached) ride ``pt_round``'s
+    aux permutation; energies are carried (one initial ``ising_energies``,
+    ΔE-tracked thereafter).  ``betas`` may be one (T,) ladder (→ one
+    ``(round_trips, coverage)`` tuple) or a list of same-T ladders (→ list
+    of tuples, sharing one compilation and one initial state).
+    """
+    # accepts one ladder or a list of same-length ladders — the compiled
+    # runner (betas traced) is shared across them, so comparing arms of
+    # equal T costs one compile on the relay
+    many = isinstance(betas, (list, tuple)) and np.ndim(betas[0]) == 1
+    ladders = [jnp.asarray(b, jnp.float32) for b in (betas if many else [betas])]
+    t_dim = int(ladders[0].shape[0])
+    assert all(int(b.shape[0]) == t_dim for b in ladders)
+
+    @jax.jit
+    def run(key, ladder0, bs):
+        e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
+        rows = jnp.arange(t_dim)[:, None] * jnp.ones((1, n_chains), jnp.int32)
+
+        def body(carry, k):
+            s, e, aux, trips = carry
+            s, e, aux = pt_round(
+                k, hp, coupling_p, plan, s, bs, sweeps_per_round,
+                matmul_dtype=matmul_dtype, energies=e, aux=aux,
+            )
+            direc = aux["dir"]
+            direc = jnp.where((rows == t_dim - 1) & (direc == 1), -1, direc)
+            arrived = (rows == 0) & (direc == -1)
+            trips = trips + arrived.sum()
+            direc = jnp.where(rows == 0, 1, direc)
+            aux = {
+                "dir": direc,
+                "rmin": jnp.minimum(aux["rmin"], rows),
+                "rmax": jnp.maximum(aux["rmax"], rows),
+            }
+            return (s, e, aux, trips), None
+
+        aux0 = {
+            "dir": jnp.zeros((t_dim, n_chains), jnp.int32).at[0].set(1),
+            "rmin": rows,
+            "rmax": rows,
+        }
+        (_, _, aux, trips), _ = jax.lax.scan(
+            body, (ladder0, e0, aux0, jnp.int32(0)),
+            jax.random.split(key, n_rounds),
+        )
+        coverage = jnp.mean((aux["rmax"] - aux["rmin"]) / (t_dim - 1))
+        return trips, coverage
+
+    k_init, k_run = jax.random.split(key)
+    ladder0 = random_spins(k_init, plan, t_dim * n_chains).reshape(
+        t_dim, n_chains, plan.n_pad
+    )
+    out = [run(k_run, ladder0, b) for b in ladders]
+    out = [(int(t), float(c)) for t, c in out]
+    return out if many else out[0]
 
 
 def _respace(betas: np.ndarray, accept: np.ndarray) -> np.ndarray:
@@ -146,13 +259,18 @@ def tune_pt_betas(
     ladder into ``TrainingConfig.PT_BETAS``.
     """
     betas = np.asarray(betas0, np.float64)
+    # one compiled measurement kernel for every iteration (betas traced)
+    measurer = make_acceptance_measurer(
+        hp, coupling_p, plan, len(betas), n_chains, n_rounds,
+        sweeps_per_round, matmul_dtype=matmul_dtype,
+    )
     diag0 = None
     diag = None
     for it in range(n_iters):
         key, k = jax.random.split(key)
         diag = swap_acceptance(
             k, hp, coupling_p, plan, betas, n_chains, n_rounds,
-            sweeps_per_round, matmul_dtype=matmul_dtype,
+            sweeps_per_round, matmul_dtype=matmul_dtype, measurer=measurer,
         )
         if diag0 is None:
             diag0 = diag
@@ -166,7 +284,7 @@ def tune_pt_betas(
     key, k = jax.random.split(key)
     diag_final = swap_acceptance(
         k, hp, coupling_p, plan, betas, n_chains, n_rounds,
-        sweeps_per_round, matmul_dtype=matmul_dtype,
+        sweeps_per_round, matmul_dtype=matmul_dtype, measurer=measurer,
     )
     if verbose:
         print(

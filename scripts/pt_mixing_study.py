@@ -116,36 +116,9 @@ def main(argv=None):
         )
         return means, mins, e_fin[-1]
 
-    @jax.jit
-    def run_flow(key, ladder0, bs):
-        """Replica round-trip count: the standard PT flow diagnostic.
-        Identity labels ride pt_round's aux permutation; a round trip is a
-        replica travelling hot (row 0) → cold (row T-1) → hot again."""
-        e0 = ising_energies(hp, coupling, ladder0)
-        rows = jnp.arange(t_dim)[:, None] * jnp.ones((1, c_pt), jnp.int32)
-
-        def body(carry, k):
-            s, e, direc, trips = carry
-            s, e, direc = pt_round(
-                k, hp, coupling, plan, s, bs, spr,
-                energies=e, aux=direc,
-            )
-            direc = jnp.where((rows == t_dim - 1) & (direc == 1), -1, direc)
-            arrived = (rows == 0) & (direc == -1)
-            trips = trips + arrived.sum()
-            direc = jnp.where(rows == 0, 1, direc)
-            return (s, e, direc, trips), None
-
-        direc0 = jnp.zeros((t_dim, c_pt), jnp.int32).at[0].set(1)
-        (_, _, _, trips), _ = jax.lax.scan(
-            body, (ladder0, e0, direc0, jnp.int32(0)),
-            jax.random.split(key, rounds),
-        )
-        return trips
-
     # third arm: the SAME ladder size/budget, rung placement tuned by the
     # equal-barrier feedback schedule (ops/pt_tune.py) instead of geomspace
-    from image_generation_tpu.ops.pt_tune import tune_pt_betas
+    from image_generation_tpu.ops.pt_tune import round_trip_count, tune_pt_betas
 
     t0 = time.perf_counter()
     tuned, diag_geo, diag_tuned = tune_pt_betas(
@@ -160,8 +133,9 @@ def main(argv=None):
     l0 = random_spins(k_p, plan, t_dim * c_pt).reshape(t_dim, c_pt, plan.n_pad)
     p_mean, p_min, p_e = run_pt(k_run, l0, betas)
     t_mean, t_min, t_e = run_pt(k_run, l0, jnp.asarray(tuned, jnp.float32))
-    trips_geo = int(run_flow(k_run, l0, betas))
-    trips_tuned = int(run_flow(k_run, l0, jnp.asarray(tuned, jnp.float32)))
+    (trips_geo, cover_geo), (trips_tuned, cover_tuned) = round_trip_count(
+        k_run, hp, coupling, plan, [np.asarray(betas), tuned], c_pt, rounds, spr
+    )
     g_mean, g_min, p_mean, p_min, t_mean, t_min = map(
         np.asarray, (g_mean, g_min, p_mean, p_min, t_mean, t_min)
     )
@@ -184,9 +158,12 @@ def main(argv=None):
         "accept_geomspace_std": float(np.std(diag_geo.accept)),
         "accept_tuned_min": float(diag_tuned.accept.min()),
         "accept_tuned_std": float(np.std(diag_tuned.accept)),
-        # completed hot→cold→hot replica round trips over the whole run
+        # completed hot→cold→hot replica round trips over the whole run,
+        # and mean ladder coverage (fraction of rungs each replica visited)
         "round_trips_geomspace": trips_geo,
         "round_trips_tuned": trips_tuned,
+        "ladder_coverage_geomspace": round(cover_geo, 4),
+        "ladder_coverage_tuned": round(cover_tuned, 4),
     }
     summary["pt_mixes_better"] = (
         summary["tail_mean_e_pt"] < summary["tail_mean_e_gibbs"]
@@ -230,7 +207,8 @@ def main(argv=None):
     )
     print(
         f"replica round trips ({rounds} rounds x {c_pt} columns): "
-        f"geomspace {trips_geo}  tuned {trips_tuned}"
+        f"geomspace {trips_geo}  tuned {trips_tuned}   ladder coverage: "
+        f"geomspace {cover_geo:.3f}  tuned {cover_tuned:.3f}"
     )
     print(f"wrote {args.out}")
 

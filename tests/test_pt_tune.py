@@ -92,3 +92,31 @@ def test_pt_betas_reach_the_sampler():
     assert t.state.chains.shape[0] == 4
     t.train(1)
     assert np.isfinite(t.losses["dvae_losses"]).all()
+
+
+def test_round_trip_count_and_coverage(glass):
+    """Flow diagnostics: trips/coverage well-formed, the shared-compile
+    multi-ladder form matches the scalar form's shapes, and a two-rung
+    ladder at identical betas (every swap accepted) completes many trips
+    with full coverage."""
+    from image_generation_tpu.ops.pt_tune import round_trip_count
+
+    plan, hp, cp = glass
+    geo = np.geomspace(0.1, 1.0, 6)
+    out = round_trip_count(
+        jax.random.PRNGKey(3), hp, cp, plan, [geo, geo], n_chains=32,
+        n_rounds=40,
+    )
+    assert len(out) == 2
+    (trips, cover), (trips2, cover2) = out
+    # identical ladders + shared initial state → identical diagnostics
+    assert (trips, cover) == (trips2, cover2)
+    assert trips >= 0 and 0.0 < cover <= 1.0
+
+    trips_free, cover_free = round_trip_count(
+        jax.random.PRNGKey(4), hp, cp, plan, np.array([1.0, 1.0]),
+        n_chains=16, n_rounds=30,
+    )
+    # all swaps accepted: replicas shuttle freely across the 2-rung ladder
+    assert cover_free == 1.0
+    assert trips_free > 50  # ~a trip every other round per column
