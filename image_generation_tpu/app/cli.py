@@ -60,6 +60,9 @@ def _build_trainer(args, for_load: bool = False):
     if getattr(args, "pt_betas", None):
         overrides["PT_BETAS"] = _parse_pt_betas(args.pt_betas)
         overrides.setdefault("SAMPLER", "pt")  # a ladder implies PT
+    if getattr(args, "pt_adapt", None) is not None:
+        overrides["PT_ADAPT"] = args.pt_adapt
+        overrides.setdefault("SAMPLER", "pt")  # adaptation implies PT
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -416,6 +419,12 @@ def main(argv=None):
         help="explicit PT ladder: comma-separated ascending betas ending "
         "at 1.0, or a pt_betas.json written by tune-pt (implies "
         "--sampler pt)",
+    )
+    common.add_argument(
+        "--pt-adapt", default=None, choices=["off", "epoch"],
+        help="adaptive tempering: re-space the live PT ladder after every "
+        "epoch from the step's free swap-acceptance metric (implies "
+        "--sampler pt; zero recompilation, zero extra sampling)",
     )
     common.add_argument(
         "--progress-chunks", type=int, default=4,

@@ -53,6 +53,12 @@ class TrainingConfig:
     # rung 1.0) — e.g. a feedback-optimized schedule from
     # ops/pt_tune.tune_pt_betas (equal-barrier spacing beats the geomspace
     # default on rough landscapes); overrides PT_NUM_BETAS/PT_BETA_MIN
+    PT_ADAPT: str = "off"  # "off" | "epoch" — adaptive tempering: after
+    # each epoch, re-space the live ladder (TrainState.pt_betas) with one
+    # equal-barrier feedback iteration (ops/pt_tune.respace_betas) fed by
+    # the epoch's mean per-pair swap acceptance, which the training step
+    # measures for free (StepMetrics.pt_accept).  Zero recompilation (the
+    # ladder is a traced state leaf) and zero extra sampling.
     N_KERNELS: int = 7  # GaussianKernel mixture size (reference hard-codes 7)
     COMPUTE_DTYPE: str = "bfloat16"  # conv/dense compute precision on TPU;
     # parameters, BatchNorm stats, losses and the sampler stay float32
@@ -138,6 +144,12 @@ class TrainingConfig:
             # chain shapes everywhere key off PT_NUM_BETAS — keep it the
             # single source of ladder size
             object.__setattr__(self, "PT_NUM_BETAS", len(b))
+        if isinstance(self.PT_ADAPT, bool):  # YAML 1.1 'off' parses as False
+            object.__setattr__(self, "PT_ADAPT", "epoch" if self.PT_ADAPT else "off")
+        if self.PT_ADAPT not in ("off", "epoch"):
+            raise ValueError(
+                f"PT_ADAPT must be 'off' or 'epoch', got {self.PT_ADAPT!r}"
+            )
 
     @classmethod
     def from_yaml(cls, path, **overrides) -> "TrainingConfig":

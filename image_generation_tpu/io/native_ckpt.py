@@ -43,11 +43,14 @@ def _ckptr():
 
 def _strip(state) -> dict:
     """Fields to drop before serialization: the derived sampler cache, plus
-    the non-PT (0,)-shaped chain_energies placeholder (orbax refuses
-    zero-size arrays; it is recreated verbatim on restore)."""
+    the non-PT (0,)-shaped placeholders (chain_energies, pt_betas — orbax
+    refuses zero-size arrays; they are recreated verbatim on restore).
+    In PT mode pt_betas IS saved: once PT_ADAPT has re-spaced the ladder it
+    is no longer derivable from the config."""
     drop = dict(_DERIVED)
-    if getattr(state.chain_energies, "size", 1) == 0:
-        drop["chain_energies"] = None
+    for field in ("chain_energies", "pt_betas"):
+        if getattr(getattr(state, field), "size", 1) == 0:
+            drop[field] = None
     return drop
 
 
@@ -118,10 +121,11 @@ def restore_train_state(directory, template, step: Optional[int] = None,
             f"schema (saved by an older build, or a different SAMPLER "
             f"mode than the restoring config?): {e}"
         ) from e
-    if "chain_energies" in drop:
-        # recreate the non-PT placeholder the save dropped (orbax cannot
-        # hold zero-size arrays)
-        restored = restored.replace(chain_energies=template.chain_energies)
+    for field in ("chain_energies", "pt_betas"):
+        if field in drop:
+            # recreate the non-PT placeholder the save dropped (orbax cannot
+            # hold zero-size arrays)
+            restored = restored.replace(**{field: getattr(template, field)})
     if rebuild_cache is not None:
         restored = rebuild_cache(restored)
     return restored

@@ -310,6 +310,7 @@ def pt_round(
     energies: Optional[jax.Array] = None,
     return_energies: bool = False,
     aux=None,
+    return_accept: bool = False,
 ):
     """One PT round: Gibbs sweeps at every temperature + replica exchange.
 
@@ -335,6 +336,12 @@ def pt_round(
         configurations (replica-identity labels for round-trip/flow
         diagnostics, per-replica observables, ...).  When given, the
         return is ``(spins, energies, aux)``.
+      return_accept: also return the (T-1,) per-pair mean analytic swap
+        acceptance E[min(1, e^{Δβ·ΔE})] of this round (each pair is active
+        in exactly one of the two passes, so the vector covers every pair
+        once) — the free ladder-health measurement adaptive tempering and
+        observability consume.  Appended last:
+        ``(spins, energies[, aux], accept)``.
 
     Replica exchange: adjacent pairs (t, t+1) attempt a configuration swap
     accepted with probability min(1, exp((β_t − β_{t+1})(E_t − E_{t+1}))),
@@ -374,6 +381,9 @@ def pt_round(
         u = jax.random.uniform(k, delta.shape)
         pair_mask = (jnp.arange(t_dim - 1) % 2 == parity)[:, None]
         accept = (jnp.log(u) < delta) & pair_mask  # (T-1, C)
+        # analytic per-pair acceptance of this pass's active pairs (lower
+        # variance than counting realized swaps; inactive pairs are 0)
+        p_acc = (jnp.minimum(1.0, jnp.exp(delta)) * pair_mask).mean(axis=1)
         pad = jnp.zeros((1, c_dim), dtype=bool)
         swap_next = jnp.concatenate([accept, pad], axis=0)  # row t ↔ t+1
         swap_prev = jnp.concatenate([pad, accept], axis=0)  # row t ↔ t−1
@@ -394,12 +404,15 @@ def pt_round(
         e = permute(e)
         if aux is not None:
             aux = jax.tree.map(permute, aux)
-        return s, e, aux
+        return s, e, aux, p_acc
 
-    spins_p, e, aux = swap_pass(spins_p, e, aux, k_even, 0)
-    spins_p, e, aux = swap_pass(spins_p, e, aux, k_odd, 1)
+    spins_p, e, aux, acc_even = swap_pass(spins_p, e, aux, k_even, 0)
+    spins_p, e, aux, acc_odd = swap_pass(spins_p, e, aux, k_odd, 1)
+    acc = acc_even + acc_odd  # disjoint parity masks: every pair once
     if aux is not None:
-        return spins_p, e, aux
+        return (spins_p, e, aux, acc) if return_accept else (spins_p, e, aux)
+    if return_accept:
+        return spins_p, e, acc
     return (spins_p, e) if return_energies else spins_p
 
 

@@ -47,6 +47,7 @@ from image_generation_tpu.ops.gibbs import (
 __all__ = [
     "PTLadderDiagnostics",
     "make_acceptance_measurer",
+    "respace_betas",
     "round_trip_count",
     "swap_acceptance",
     "tune_pt_betas",
@@ -227,9 +228,16 @@ def round_trip_count(
     return out if many else out[0]
 
 
-def _respace(betas: np.ndarray, accept: np.ndarray) -> np.ndarray:
+def respace_betas(betas, accept) -> np.ndarray:
     """Equal-barrier re-spacing: piecewise-linear Λ(β) through the rungs,
-    interior rungs moved to the equal-Λ quantiles (endpoints fixed)."""
+    interior rungs moved to the equal-Λ quantiles (endpoints fixed).
+
+    One iteration of the feedback schedule, given per-pair acceptances from
+    ANY source — the offline tuner's measurement (``swap_acceptance``) or
+    the training step's free ``pt_accept`` metric (PT_ADAPT,
+    training/trainer.py)."""
+    betas = np.asarray(betas, np.float64)
+    accept = np.clip(np.asarray(accept, np.float64), 1e-4, 1.0)
     t_dim = len(betas)
     rej = np.maximum(1.0 - accept, 1e-4)  # keep Λ strictly increasing
     lam = np.concatenate([[0.0], np.cumsum(rej)])
@@ -238,6 +246,9 @@ def _respace(betas: np.ndarray, accept: np.ndarray) -> np.ndarray:
     new = np.interp(targets, lam, betas)
     new[0], new[-1] = betas[0], betas[-1]
     return new
+
+
+_respace = respace_betas  # internal alias (tuner loop)
 
 
 def tune_pt_betas(

@@ -91,6 +91,12 @@ class TrainState:
     # a QuantCoupling pytree (int8 matrix + f32 scale, ops/quant.py)
     opt_step: jax.Array  # int32 global step counter
     rng: jax.Array  # PRNG key threaded through steps
+    pt_betas: jax.Array  # PT mode: the (T,) live temperature ladder — a
+    # TRACED leaf so PT_ADAPT's between-epoch equal-barrier re-spacing
+    # (trainer.py, ops/pt_tune._respace) changes rung values without any
+    # recompilation; non-derivable once adapted, so native checkpoints
+    # carry it.  Carried energies stay valid across re-spacing (an Ising
+    # energy does not depend on β).  Non-PT mode: a (0,) placeholder.
 
 
 @struct.dataclass
@@ -100,6 +106,10 @@ class StepMetrics:
     dvae_loss: jax.Array
     nll: jax.Array
     grbm_trained: jax.Array
+    pt_accept: jax.Array  # PT mode: (T-1,) per-pair mean analytic swap
+    # acceptance of this step's replica exchange (pt_round return_accept) —
+    # free ladder-health observability, and the measurement PT_ADAPT's
+    # re-spacing consumes.  Non-PT mode: a (0,) placeholder.
 
 
 class TrainStepFns:
@@ -205,8 +215,12 @@ def make_train_fns(
     pallas_vmem = supported_by_pallas(plan, _eff_chains)
     pt_mode = cfg.SAMPLER == "pt"
     # geometric spacing by default; PT_BETAS plugs in a tuned ladder (e.g.
-    # the equal-barrier schedule from ops/pt_tune.tune_pt_betas)
-    betas = (
+    # the equal-barrier schedule from ops/pt_tune.tune_pt_betas).  This is
+    # the INITIAL ladder: the live one is a TrainState leaf (pt_betas), a
+    # traced argument of every pt_round — so PT_ADAPT's between-epoch
+    # re-spacing (training/trainer.py) updates rung values with ZERO
+    # recompilation, and checkpoints carry the adapted ladder.
+    betas0 = (
         jnp.asarray(cfg.PT_BETAS, jnp.float32)
         if cfg.PT_BETAS is not None
         else jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
@@ -375,29 +389,41 @@ def make_train_fns(
             return pt_energies_fn(hp, coupling_p, chains)
         return ising_energies(hp, coupling_p, chains, mm_dtype)
 
-    def run_sweeps(key, hp, coupling_p, chains, n_sweeps, energies=None):
+    _no_accept = lambda: jnp.zeros((0,), jnp.float32)  # non-PT placeholder
+
+    def run_sweeps(key, hp, coupling_p, chains, n_sweeps, energies=None,
+                   betas=None):
         """One negative-phase refresh of the persistent chain state.
 
         Plain mode: ``n_sweeps`` Gibbs sweeps of (NUM_READS, n_pad) chains.
         PT mode (SAMPLER="pt"): chains are a (PT_NUM_BETAS, NUM_READS, n_pad)
         temperature ladder; each refresh is one PT round (n_sweeps Gibbs
-        sweeps at every temperature + even/odd replica exchange).
+        sweeps at every temperature + even/odd replica exchange) at
+        ``betas`` (the live ``state.pt_betas`` in the step; the config
+        ladder ``betas0`` by default for init/generation).
 
-        Returns (chains, energies).  In PT mode ``energies`` carried from the
-        previous refresh (same model, same chains) removes BOTH historical
-        per-round full-ladder energy matmuls: sweeps track ΔE in-kernel and
-        the swap passes permute energies with the configurations; pass
-        ``energies=None`` when the carry is invalid (fresh chains / model
-        changed) — then one energy computation runs after the sweeps.
+        Returns (chains, energies, accept).  In PT mode ``energies``
+        carried from the previous refresh (same model, same chains) removes
+        BOTH historical per-round full-ladder energy matmuls: sweeps track
+        ΔE in-kernel and the swap passes permute energies with the
+        configurations; pass ``energies=None`` when the carry is invalid
+        (fresh chains / model changed) — then one energy computation runs
+        after the sweeps.  ``accept`` is the (T-1,) per-pair swap
+        acceptance of the round (PT_ADAPT / observability input).
         """
         if pt_mode:
             return pt_round(
-                key, hp, coupling_p, plan, chains, betas, n_sweeps,
+                key, hp, coupling_p, plan, chains,
+                betas0 if betas is None else betas, n_sweeps,
                 sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
                 energies_fn=pt_energies_fn,
-                energies=energies, return_energies=True,
+                energies=energies, return_accept=True,
             )
-        return sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps), _no_energies()
+        return (
+            sweeps_fn(key, hp, coupling_p, plan, chains, n_sweeps),
+            _no_energies(),
+            _no_accept(),
+        )
 
     def chain_samples(chains):
         """(NUM_READS, n) target-distribution samples in original coords."""
@@ -476,7 +502,9 @@ def make_train_fns(
             ).reshape(cfg.PT_NUM_BETAS, cfg.NUM_READS, plan.n_pad)
         else:
             chains = random_spins(k_chains, plan, cfg.NUM_READS)
-        chains, chain_e = run_sweeps(k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN)
+        chains, chain_e, _ = run_sweeps(
+            k_burn, hp, coupling_p, chains, cfg.GIBBS_BURN_IN
+        )
         return TrainState(
             dvae_params=variables["params"],
             batch_stats=variables["batch_stats"],
@@ -489,6 +517,7 @@ def make_train_fns(
             sampler_coupling=coupling_p,
             opt_step=jnp.asarray(0, jnp.int32),
             rng=k_rng,
+            pt_betas=betas0 if pt_mode else jnp.zeros((0,), jnp.float32),
         )
 
     def step_body(state: TrainState, images: jax.Array, epoch: jax.Array):
@@ -506,9 +535,9 @@ def make_train_fns(
         if not cfg.PERSISTENT_CHAINS:
             flat = random_spins(k_fresh, plan, int(np_prod(chains_in.shape[:-1])))
             chains_in = flat.reshape(chains_in.shape)
-        chains, chain_e = run_sweeps(
+        chains, chain_e, pt_accept = run_sweeps(
             k_neg1, state.sampler_h, state.sampler_coupling, chains_in,
-            cfg.GIBBS_SWEEPS, energies=energies_in,
+            cfg.GIBBS_SWEEPS, energies=energies_in, betas=state.pt_betas,
         )
         samples = jax.lax.stop_gradient(chain_samples(chains))
 
@@ -546,9 +575,10 @@ def make_train_fns(
             # negative phase #2 — the reference's second QPU call per
             # scheduled step (inside nll_loss, src/losses.py:50-57); the
             # carried energies from phase #1 are valid (same model/chains)
-            chains2, chain_e2 = run_sweeps(
+            chains2, chain_e2, _ = run_sweeps(
                 k_neg2, hp, coupling_p, chains_in, cfg.GIBBS_SWEEPS,
                 energies=chain_e_in if pt_mode else None,
+                betas=state.pt_betas,
             )
             model_spins = chain_samples(chains2)
             grads = nll_grads(graph, data_spins, model_spins)
@@ -595,10 +625,12 @@ def make_train_fns(
             sampler_coupling=sampler_coupling,
             opt_step=state.opt_step + 1,
             rng=rng,
+            pt_betas=state.pt_betas,
         )
         metrics = StepMetrics(
             mse=mse, mmd=mmd, dvae_loss=dvae_loss, nll=nll,
             grbm_trained=train_grbm.astype(jnp.float32),
+            pt_accept=pt_accept,
         )
         return new_state, metrics
 
@@ -623,14 +655,18 @@ def make_train_fns(
         return jax.lax.scan(body, state, batches)
 
     @partial(jax.jit, static_argnums=(2, 3))
-    def sample_fn(key: jax.Array, grbm_params: GRBMParams, num_reads: int, n_sweeps: int):
+    def sample_fn(key: jax.Array, grbm_params: GRBMParams, num_reads: int,
+                  n_sweeps: int, betas: Optional[jax.Array] = None):
         """Standalone sampler call for generation (grbm.sample equivalent).
 
         Returns (num_reads, n) spins in original coordinates.  In PT mode a
-        fresh temperature ladder is burned in and the target row returned.
+        fresh temperature ladder is burned in and the target row returned;
+        ``betas`` overrides the config ladder (pass ``state.pt_betas`` to
+        sample with a PT_ADAPT-adapted ladder).
         """
         k1, k2 = jax.random.split(key)
         if pt_mode:
+            b = betas0 if betas is None else betas
             ladder = random_spins(k1, plan, cfg.PT_NUM_BETAS * num_reads).reshape(
                 cfg.PT_NUM_BETAS, num_reads, plan.n_pad
             )
@@ -642,7 +678,7 @@ def make_train_fns(
             def round_fn(carry, k):
                 s, e = carry
                 return pt_round(
-                    k, hp, coupling_p, plan, s, betas, cfg.GIBBS_SWEEPS,
+                    k, hp, coupling_p, plan, s, b, cfg.GIBBS_SWEEPS,
                     sweeps_fn=sweeps_fn, matmul_dtype=mm_dtype,
                     energies_fn=pt_energies_fn,
                     energies=e, return_energies=True,
@@ -677,8 +713,9 @@ def make_train_fns(
         under the new model (they were equilibrated against the old one)."""
         hp, coupling_p = build_sampler_model(state.grbm_params)
         rng, k_burn = jax.random.split(state.rng)
-        chains, chain_e = run_sweeps(
-            k_burn, hp, coupling_p, state.chains, cfg.GIBBS_BURN_IN
+        chains, chain_e, _ = run_sweeps(
+            k_burn, hp, coupling_p, state.chains, cfg.GIBBS_BURN_IN,
+            betas=state.pt_betas,
         )
         return state.replace(
             sampler_h=hp, sampler_coupling=coupling_p, chains=chains,

@@ -201,19 +201,50 @@ class Trainer:
         while nb % k:
             k -= 1
         chunk = nb // k
-        mse_parts, total_parts = [], []
+        mse_parts, total_parts, acc_parts = [], [], []
         for i in range(k):
             seg = batches[i * chunk : (i + 1) * chunk]
             self.state, metrics = self.fns.epoch(self.state, seg, jnp.asarray(epoch))
             mse_parts.append(np.asarray(metrics.mse))
             total_parts.append(np.asarray(metrics.dvae_loss))
+            acc_parts.append(np.asarray(metrics.pt_accept))
             if batch_cb is not None and k > 1:
                 batch_cb((i + 1) * chunk, nb)
         mses = np.concatenate(mse_parts)
         totals = np.concatenate(total_parts)
         self.losses["mse_losses"].extend(mses.tolist())
         self.losses["dvae_losses"].extend(totals.tolist())
-        return {"mse": float(mses.mean()), "dvae_loss": float(totals.mean())}
+        stats = {"mse": float(mses.mean()), "dvae_loss": float(totals.mean())}
+        acc = np.concatenate(acc_parts)  # (n_batches, T-1); width 0 non-PT
+        if acc.size:
+            # free ladder-health observability from the step's analytic
+            # swap-acceptance metric, averaged over the epoch's rounds
+            acc = acc.mean(axis=0)
+            stats["pt_accept_min"] = float(acc.min())
+            stats["pt_accept_mean"] = float(acc.mean())
+            if self.config.PT_ADAPT == "epoch":
+                stats["pt_betas"] = self._adapt_pt_betas(acc)
+        return stats
+
+    def _adapt_pt_betas(self, accept) -> list:
+        """Adaptive tempering (PT_ADAPT="epoch"): one equal-barrier feedback
+        iteration (ops/pt_tune.respace_betas) on the live ladder, fed by the
+        epoch's mean per-pair swap acceptance.  The ladder is a traced
+        TrainState leaf, so this is a host-side (T,) array swap — no
+        recompilation; carried chain energies stay valid (an Ising energy
+        does not depend on β); the chains equilibrate to the moved rungs
+        over the next epoch's rounds (standard feedback-optimized PT)."""
+        from image_generation_tpu.ops.pt_tune import respace_betas
+
+        cur = np.asarray(jax.device_get(self.state.pt_betas), np.float64)
+        new = respace_betas(cur, accept)
+        arr = jnp.asarray(new, jnp.float32)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            arr = jax.device_put(arr, NamedSharding(self.mesh, P()))
+        self.state = self.state.replace(pt_betas=arr)
+        return [round(float(b), 5) for b in new]
 
     def current_lrs(self) -> tuple:
         """(DVAE LR, GRBM LR) at the current opt_step — what the reference
@@ -460,13 +491,21 @@ class Trainer:
             spins = self.fns.sample(
                 self._next_key(), self.state.grbm_params, n,
                 cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS,
+                # sample with the LIVE ladder (PT_ADAPT may have moved it)
+                betas=self.state.pt_betas if cfg.SAMPLER == "pt" else None,
             )
             e = energy(GRBMParams(linear=h, quadratic=q), self.graph, spins)
             return SampleSet(
                 spins=np.asarray(spins), energies=np.asarray(e),
                 info={"sampler": "graph_sharded"},
             )
-        return self.sampler_backend().sample(
+        backend = self.sampler_backend()
+        if cfg.SAMPLER == "pt" and getattr(self.state, "pt_betas", None) is not None \
+                and self.state.pt_betas.size:
+            # keep the backend on the LIVE ladder (PT_ADAPT may have moved
+            # the rungs since the backend was built from the config)
+            backend.backend.betas = jnp.asarray(self.state.pt_betas)
+        return backend.sample(
             h, q, self.graph, num_reads or cfg.NUM_READS, self._next_key()
         )
 

@@ -67,3 +67,79 @@ def test_full_fabric_latent_selection():
     latent, mapping = select_latent_graph(g, g.number_of_nodes(), 0)
     assert latent.number_of_nodes() == g.number_of_nodes()
     assert latent.number_of_edges() == g.number_of_edges()
+
+
+def test_pt_round_accept_metric():
+    """return_accept: the analytic per-pair acceptance — identical betas
+    accept everything (exp(0)=1), and each pair is reported exactly once
+    across the even/odd passes."""
+    from image_generation_tpu.models.grbm import GRBMGraph
+    from image_generation_tpu.ops.gibbs import (
+        build_plan, ising_energies, permuted_model, pt_round, random_spins,
+    )
+    from image_generation_tpu.utils.subgraph import select_latent_graph
+    from image_generation_tpu.utils.topology import chimera_graph
+
+    g, _ = select_latent_graph(chimera_graph(2, 2, 3), 12, 11)
+    graph = GRBMGraph.from_networkx(g)
+    rng = np.random.RandomState(1)
+    h = jnp.asarray(rng.uniform(-0.3, 0.3, graph.n).astype(np.float32))
+    j = jnp.asarray(rng.uniform(-0.5, 0.5, graph.n_edges).astype(np.float32))
+    plan = build_plan(graph, pad_to=8)
+    hp, cp = permuted_model(plan, h, j)
+    ladder = random_spins(jax.random.PRNGKey(0), plan, 5 * 16).reshape(
+        5, 16, plan.n_pad
+    )
+    e0 = ising_energies(hp, cp, ladder)
+    _, _, acc = pt_round(
+        jax.random.PRNGKey(1), hp, cp, plan, ladder,
+        jnp.ones(5), 2, energies=e0, return_accept=True,
+    )
+    np.testing.assert_allclose(np.asarray(acc), 1.0, atol=1e-6)
+    # a real ascending ladder: acceptances are probabilities, one per pair
+    _, _, acc2 = pt_round(
+        jax.random.PRNGKey(2), hp, cp, plan, ladder,
+        jnp.geomspace(0.2, 1.0, 5), 2, energies=e0, return_accept=True,
+    )
+    a2 = np.asarray(acc2)
+    assert a2.shape == (4,) and np.all((a2 > 0) & (a2 <= 1.0 + 1e-6))
+
+
+def test_pt_adapt_moves_the_ladder_and_resumes(tmp_path):
+    """PT_ADAPT="epoch": the live ladder re-spaces after every epoch with
+    endpoints pinned and order preserved, metrics expose acceptance, the
+    sampler backend syncs to the live ladder, and native checkpoints carry
+    the ADAPTED rungs (no longer derivable from the config)."""
+    t = Trainer(config=pt_config(PT_ADAPT="epoch", PT_NUM_BETAS=6))
+    t.train_init(n_epochs=2)
+    b0 = np.asarray(t.state.pt_betas)
+    np.testing.assert_allclose(b0, np.geomspace(0.3, 1.0, 6), rtol=1e-6)
+    stats = t.train_epoch(0)
+    assert 0.0 < stats["pt_accept_min"] <= 1.0
+    assert len(stats["pt_betas"]) == 6
+    b1 = np.asarray(t.state.pt_betas)
+    assert not np.allclose(b0, b1)
+    assert b1[0] == b0[0] and b1[-1] == b0[-1] and np.all(np.diff(b1) > 0)
+    # generation backend samples with the live ladder
+    t.sample_sampleset(8)
+    np.testing.assert_allclose(
+        np.asarray(t._backend.backend.betas), b1, rtol=1e-6
+    )
+    # native checkpoint carries the adapted ladder bit-exactly
+    t.save_native(tmp_path / "ck")
+    t2 = Trainer(config=pt_config(PT_ADAPT="epoch", PT_NUM_BETAS=6))
+    t2.resume_native(tmp_path / "ck", n_epochs=2)
+    np.testing.assert_array_equal(np.asarray(t2.state.pt_betas), b1)
+    # adaptation continues after resume
+    t2.train_epoch(1)
+    assert np.all(np.diff(np.asarray(t2.state.pt_betas)) > 0)
+
+
+def test_non_pt_metrics_have_empty_accept():
+    """Gibbs mode: pt_accept/pt_betas are zero-width placeholders and the
+    epoch stats carry no ladder keys."""
+    t = Trainer(config=pt_config(SAMPLER="gibbs", PT_ADAPT="off"))
+    t.train_init(n_epochs=1)
+    assert t.state.pt_betas.size == 0
+    stats = t.train_epoch(0)
+    assert "pt_accept_min" not in stats and "pt_betas" not in stats
