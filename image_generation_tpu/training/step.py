@@ -517,7 +517,10 @@ def make_train_fns(
             sampler_coupling=coupling_p,
             opt_step=jnp.asarray(0, jnp.int32),
             rng=k_rng,
-            pt_betas=betas0 if pt_mode else jnp.zeros((0,), jnp.float32),
+            # a COPY of betas0: epoch() donates the state, and donating the
+            # closure constant itself would delete the buffer sample_fn /
+            # run_sweeps defaults still reference
+            pt_betas=jnp.array(betas0) if pt_mode else jnp.zeros((0,), jnp.float32),
         )
 
     def step_body(state: TrainState, images: jax.Array, epoch: jax.Array):

@@ -43,6 +43,12 @@ def main(argv=None):
         help="ADAM_MOMENT_DTYPE for the DVAE optimizer — run once with each "
         "and compare the loss curves (VERDICT r2 item 3 convergence check)",
     )
+    ap.add_argument(
+        "--pt-adapt", choices=("off", "epoch"), default="off",
+        help="adaptive tempering: re-space the live ladder every epoch from "
+        "the step's swap-acceptance metric; the per-epoch stats then record "
+        "pt_accept_min/mean and the moving rungs",
+    )
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -63,6 +69,7 @@ def main(argv=None):
         GIBBS_SWEEPS=4,
         GIBBS_BURN_IN=4,
         ADAM_MOMENT_DTYPE=args.adam_moment_dtype,
+        PT_ADAPT=args.pt_adapt,
     )
     if args.tiny:
         cfg = cfg.replace(QPU="Advantage2_prototype", N_LATENTS=64, PT_NUM_BETAS=4)
@@ -96,6 +103,7 @@ def main(argv=None):
             "replicas": cfg.N_REPLICAS, "sampler": cfg.SAMPLER,
             "pt_betas": cfg.PT_NUM_BETAS, "reads": cfg.NUM_READS,
             "adam_moment_dtype": cfg.ADAM_MOMENT_DTYPE,
+            "pt_adapt": cfg.PT_ADAPT,
             "dataset": trainer.data_source.origin,
         },
         "epochs": epochs,

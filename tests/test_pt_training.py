@@ -143,3 +143,26 @@ def test_non_pt_metrics_have_empty_accept():
     assert t.state.pt_betas.size == 0
     stats = t.train_epoch(0)
     assert "pt_accept_min" not in stats and "pt_betas" not in stats
+
+
+def test_sample_after_donated_epochs():
+    """Donation hazard regression: epoch() donates the state; the initial
+    state's pt_betas must be a COPY of the module's default ladder, or the
+    donation deletes the buffer sample_fn's default still references
+    (observed as 'Array has been deleted' on the first post-training
+    generation)."""
+    from image_generation_tpu.models.grbm import GRBMGraph
+    from image_generation_tpu.training.step import make_train_fns
+    from image_generation_tpu.utils.data import permuted_epoch
+    from image_generation_tpu.utils.subgraph import select_latent_graph
+    from image_generation_tpu.utils.topology import zephyr_graph
+
+    cfg = pt_config(USE_PALLAS="off")
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    fns = make_train_fns(cfg, GRBMGraph.from_networkx(g), total_steps=8)
+    key = jax.random.PRNGKey(0)
+    dataset = jnp.round(jax.random.uniform(key, (32, 32, 32, 1))).astype(jnp.float32)
+    state = fns.init(key, dataset[:1])
+    state, _ = fns.epoch(state, permuted_epoch(dataset, 16, key), jnp.asarray(0))
+    # default-ladder generation AFTER a donating epoch call must not crash
+    assert fns.sample(key, state.grbm_params, 8, 4).shape == (8, cfg.N_LATENTS)
