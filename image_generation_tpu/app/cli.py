@@ -122,11 +122,12 @@ def parse_mesh(spec):
         )
 
 
-def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None):
+def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None,
+                   stats=None):
     """problem_details.json with the reference's display headers
     (src/utils/callback_helpers.py:193-204): QPU / Epoch / Batch Size /
     Latents / both learning rates / the current MSE, plus this framework's
-    sampler columns."""
+    sampler columns (incl. live PT ladder health when SAMPLER="pt")."""
     extra = {"Batch Size": trainer.config.BATCH_SIZE}
     if epoch is not None and n_epochs is not None:
         extra["Epoch"] = f"{epoch + 1}/{n_epochs}"
@@ -136,6 +137,17 @@ def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None):
         extra["Learning rate GRBM"] = f"{lr_g:.3E}"
     if mse is not None:
         extra["Mean Squared Error Loss"] = f"{mse:.4f}"
+    if stats and "pt_accept_min" in stats:
+        # ladder health from the step's free swap-acceptance metric
+        # (StepMetrics.pt_accept); the re-spaced ladder when PT_ADAPT moved it
+        extra["PT swap acceptance (min/mean)"] = (
+            f"{stats['pt_accept_min']:.3f} / {stats['pt_accept_mean']:.3f}"
+        )
+        if "pt_betas" in stats:
+            b = stats["pt_betas"]
+            extra["PT ladder (adapted)"] = (
+                f"[{b[0]:.3g} … {b[-1]:.3g}] × {len(b)}"
+            )
     files.write_problem_details(
         qpu=trainer.qpu,
         n_latents=trainer.n_latents,
@@ -207,7 +219,8 @@ def cmd_train(args):
     every = max(args.artifact_every, 1)
 
     def _cb(e, s):
-        _write_details(trainer, files, epoch=e, n_epochs=args.epochs, mse=s["mse"])
+        _write_details(trainer, files, epoch=e, n_epochs=args.epochs,
+                       mse=s["mse"], stats=s)
         if (e + 1) % every == 0 or e + 1 == args.epochs:
             _epoch_artifacts(trainer, files, e, s, args.epochs)
         else:

@@ -154,6 +154,11 @@ def test_cli_tune_pt_roundtrip(tmp_path):
         (tmp_path / "models" / "ptm" / "parameters.json").read_text()
     )
     assert params["n_epochs"] == 1
+    # the problem-details table surfaces live ladder health in PT mode
+    details = json.loads(
+        (tmp_path / "generated_json" / "problem_details.json").read_text()
+    )
+    assert "PT swap acceptance (min/mean)" in details
     cli_main([
         "--workdir", str(tmp_path), "tune-pt", "--model", "ptm",
         "--iters", "1", "--chains", "32",
