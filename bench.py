@@ -206,6 +206,13 @@ def main():
         "the int8-quantized model on the 2x-rate int8 MXU and halves the "
         "HBM-streaming kernel's coupling traffic (ops/quant.py)",
     )
+    ap.add_argument(
+        "--pt-num-betas", type=int, default=None,
+        help="override the PT ladder size (scaled config default 32) — "
+        "ladder right-sizing experiments: the real scaled model's measured "
+        "communication barrier fits far fewer rungs (BENCHMARKS.md), and "
+        "sampler chains/FLOPs scale with T",
+    )
     args = ap.parse_args()
 
     from image_generation_tpu.config import TrainingConfig
@@ -259,6 +266,8 @@ def main():
         cfg = cfg.replace(ADAM_MOMENT_DTYPE=args.adam_moment_dtype)
     if args.sampler_matmul_dtype:
         cfg = cfg.replace(SAMPLER_MATMUL_DTYPE=args.sampler_matmul_dtype)
+    if args.pt_num_betas:
+        cfg = cfg.replace(PT_NUM_BETAS=args.pt_num_betas)
 
     if full is None:
         from image_generation_tpu.utils.graph_cache import cached_latent_graph

@@ -49,6 +49,11 @@ def main(argv=None):
         "the step's swap-acceptance metric; the per-epoch stats then record "
         "pt_accept_min/mean and the moving rungs",
     )
+    ap.add_argument(
+        "--pt-num-betas", type=int, default=32,
+        help="PT ladder size (ladder right-sizing: the per-epoch "
+        "pt_accept_min shows whether fewer rungs still exchange freely)",
+    )
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -64,7 +69,7 @@ def main(argv=None):
         N_REPLICAS=2,
         NUM_READS=64,
         SAMPLER="pt",
-        PT_NUM_BETAS=32,
+        PT_NUM_BETAS=args.pt_num_betas,
         PT_BETA_MIN=0.2,
         GIBBS_SWEEPS=4,
         GIBBS_BURN_IN=4,

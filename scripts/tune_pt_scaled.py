@@ -91,7 +91,6 @@ def main(argv=None):
     )
 
     key = jax.random.PRNGKey(args.seed)
-    arms = {}
     results = {}
     for t_dim in (args.rungs, args.rungs_small):
         geo = np.geomspace(args.beta_min, 1.0, t_dim)
@@ -111,7 +110,6 @@ def main(argv=None):
             args.sweeps_per_round, matmul_dtype=mm,
         )
         flow_wall = time.perf_counter() - t0
-        arms[t_dim] = (geo, tuned)
         results[t_dim] = {
             "betas_tuned": [round(float(b), 5) for b in tuned],
             "accept_geo_min": float(diag_geo.accept.min()),
