@@ -62,7 +62,8 @@ def _build_trainer(args, for_load: bool = False):
         overrides.setdefault("SAMPLER", "pt")  # a ladder implies PT
     if getattr(args, "pt_adapt", None) is not None:
         overrides["PT_ADAPT"] = args.pt_adapt
-        overrides.setdefault("SAMPLER", "pt")  # adaptation implies PT
+        if args.pt_adapt == "epoch":  # only ENABLING adaptation implies PT
+            overrides.setdefault("SAMPLER", "pt")
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -335,11 +336,19 @@ def cmd_tune_pt(args):
             "tune-pt builds a dense replicated coupling; not supported for "
             "graph-sharded (beyond-HBM) models"
         )
+    import jax.numpy as jnp
+
     cfg = trainer.config
     h, q = scaled_ising(
         trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
     )
     hp, cp = permuted_model(trainer.plan, h, q)
+    # mirror build_sampler_model's resident dtype: tunes the same model
+    # training samples, and keeps the measurer's closed-over coupling
+    # under the relay's ~100 MB remote-compile constant limit at scale
+    mm = jnp.bfloat16 if trainer.plan.n_pad >= 2048 else None
+    if mm is not None:
+        cp = cp.astype(mm)
     betas0 = (
         np.asarray(cfg.PT_BETAS, np.float64)
         if cfg.PT_BETAS is not None
@@ -347,7 +356,8 @@ def cmd_tune_pt(args):
     )
     tuned, diag0, diag1 = tune_pt_betas(
         jax.random.PRNGKey(args.seed), hp, cp, trainer.plan, betas0,
-        n_iters=args.iters, n_chains=args.chains, verbose=True,
+        n_iters=args.iters, n_chains=args.chains, matmul_dtype=mm,
+        verbose=True,
     )
     tuned[-1] = 1.0  # PT_BETAS contract: ladder ends exactly at the target
     out_path = model_dir / "pt_betas.json"
@@ -364,16 +374,15 @@ def cmd_tune_pt(args):
 
 
 def cmd_models(args):
-    root = Path(args.workdir) / "models"
-    if not root.exists():
+    from image_generation_tpu.app.files import list_models
+
+    metas = list_models(args.workdir)
+    if not metas:
         print("(no saved models)")
         return
-    for d in sorted(root.iterdir()):
-        p = d / "parameters.json"
-        if p.exists():
-            meta = json.loads(p.read_text())
-            print(f"{d.name}: qpu={meta.get('qpu')} latents={meta.get('n_latents')} "
-                  f"epochs={meta.get('n_epochs')}")
+    for meta in metas:
+        print(f"{meta['name']}: qpu={meta.get('qpu')} "
+              f"latents={meta.get('n_latents')} epochs={meta.get('n_epochs')}")
 
 
 def main(argv=None):

@@ -474,11 +474,13 @@ def _render_plain_page(jobs: "JobManager", files, workdir: Path) -> str:
                 f"/{progress.get('n_batches')}</div>"
             )
     pd = files.dir / "problem_details.json"
-    if pd.exists():
-        try:
-            out.append(problem_details_html(json.loads(pd.read_text())))
-        except json.JSONDecodeError:
-            pass
+    try:
+        # OSError too: a job's files.clean() can rmtree generated_json
+        # between exists() and read_text(), and the 2 s auto-refresh makes
+        # that race routine at job start
+        out.append(problem_details_html(json.loads(pd.read_text())))
+    except (OSError, json.JSONDecodeError):
+        pass
     if latest is not None:
         out.append(f"<h3>Epoch {latest}</h3>")
         out.append(

@@ -38,7 +38,6 @@ import jax.numpy as jnp
 
 from image_generation_tpu.ops.gibbs import (
     GibbsPlan,
-    gibbs_sweeps,
     ising_energies,
     pt_round,
     random_spins,
@@ -73,6 +72,13 @@ def make_acceptance_measurer(
 ):
     """Build the jitted (key, flat_spins, betas) → (spins, accept) kernel.
 
+    The measurement runs the REAL exchanging process — ``pt_round`` with
+    carried energies and its free analytic acceptance output — not
+    independent tempering chains: without the swaps, cold rungs burned in
+    from random init sit in a metastable ensemble whose acceptance curve
+    differs from PT equilibrium exactly on the glassy models the tuner
+    targets.
+
     Betas are a TRACED argument, so successive tuner iterations (same T,
     different rung values) reuse ONE compilation — essential on the
     remote-TPU relay where each compile costs 60-150 s at scale.  Reused
@@ -82,34 +88,28 @@ def make_acceptance_measurer(
 
     @jax.jit
     def rounds(key, flat, b):
-        """burn + measure: returns final state and summed pair acceptance."""
-        beta_per_chain = jnp.repeat(b, n_chains)
+        """burn + measure: returns final state and mean pair acceptance."""
+        ladder0 = flat.reshape(t_dim, n_chains, flat.shape[-1])
+        e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
 
         def one(carry, k):
-            flat, acc, measuring = carry
-            flat = gibbs_sweeps(
-                k, hp, coupling_p, plan, flat, sweeps_per_round,
-                beta_per_chain, matmul_dtype=matmul_dtype,
+            s, e, acc, measuring = carry
+            s, e, pair_acc = pt_round(
+                k, hp, coupling_p, plan, s, b, sweeps_per_round,
+                matmul_dtype=matmul_dtype, energies=e, return_accept=True,
             )
-            e = ising_energies(hp, coupling_p, flat, matmul_dtype).reshape(
-                t_dim, n_chains
-            )
-            delta = (b[:-1] - b[1:])[:, None] * (e[:-1] - e[1:])
-            acc = acc + measuring * jnp.mean(
-                jnp.minimum(1.0, jnp.exp(delta)), axis=1
-            )
-            return (flat, acc, measuring), None
+            return (s, e, acc + measuring * pair_acc, measuring), None
 
         acc0 = jnp.zeros((t_dim - 1,), jnp.float32)
-        (flat, _, _), _ = jax.lax.scan(
-            one, (flat, acc0, jnp.float32(0.0)),
+        (s, e, _, _), _ = jax.lax.scan(
+            one, (ladder0, e0, acc0, jnp.float32(0.0)),
             jax.random.split(jax.random.fold_in(key, 0), burn_rounds),
         )
-        (flat, acc, _), _ = jax.lax.scan(
-            one, (flat, acc0, jnp.float32(1.0)),
+        (s, _, acc, _), _ = jax.lax.scan(
+            one, (s, e, acc0, jnp.float32(1.0)),
             jax.random.split(jax.random.fold_in(key, 1), n_rounds),
         )
-        return flat, acc / n_rounds
+        return s.reshape(flat.shape), acc / n_rounds
 
     return rounds
 
