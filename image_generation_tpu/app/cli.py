@@ -36,10 +36,10 @@ import time
 from pathlib import Path
 
 
-def _build_trainer(args, for_load: bool = False):
-    from image_generation_tpu.config import TrainingConfig
-    from image_generation_tpu.training.trainer import Trainer
-
+def _config_overrides(args):
+    """Map parsed CLI args to TrainingConfig field overrides (shared by
+    ``_build_trainer`` and the server's warm in-process serving path, which
+    must honor the same ``extra_cli`` flags the subprocess jobs receive)."""
     overrides = {}
     if args.latents is not None:
         overrides["N_LATENTS"] = args.latents
@@ -64,6 +64,14 @@ def _build_trainer(args, for_load: bool = False):
         overrides["PT_ADAPT"] = args.pt_adapt
         if args.pt_adapt == "epoch":  # only ENABLING adaptation implies PT
             overrides.setdefault("SAMPLER", "pt")
+    return overrides
+
+
+def _build_trainer(args, for_load: bool = False):
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.training.trainer import Trainer
+
+    overrides = _config_overrides(args)
     cfg = (
         TrainingConfig.from_yaml(args.params, **overrides)
         if args.params
@@ -82,7 +90,13 @@ def _parse_pt_betas(spec):
     ``tune-pt`` command."""
     p = Path(spec)
     if p.suffix == ".json" and p.exists():
-        return [float(x) for x in json.loads(p.read_text())["betas"]]
+        try:
+            return [float(x) for x in json.loads(p.read_text())["betas"]]
+        except (OSError, json.JSONDecodeError, KeyError, TypeError, ValueError):
+            raise SystemExit(
+                f"--pt-betas file {spec!r} is not a tune-pt output "
+                f'(expected JSON with a numeric "betas" list)'
+            )
     try:
         return [float(x) for x in str(spec).split(",")]
     except ValueError:
@@ -320,8 +334,6 @@ def cmd_tune_pt(args):
     (ops/pt_tune.py: equal-barrier re-spacing of the swap-rejection curve).
     Writes ``<model>/pt_betas.json``; pass it back via ``--pt-betas`` on
     train/tune/generate to sample with the tuned ladder."""
-    import numpy as np
-
     import jax
 
     from image_generation_tpu.models.grbm import scaled_ising
@@ -336,24 +348,24 @@ def cmd_tune_pt(args):
             "tune-pt builds a dense replicated coupling; not supported for "
             "graph-sharded (beyond-HBM) models"
         )
-    import jax.numpy as jnp
-
     cfg = trainer.config
     h, q = scaled_ising(
         trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
     )
     hp, cp = permuted_model(trainer.plan, h, q)
-    # mirror build_sampler_model's resident dtype: tunes the same model
-    # training samples, and keeps the measurer's closed-over coupling
-    # under the relay's ~100 MB remote-compile constant limit at scale
-    mm = jnp.bfloat16 if trainer.plan.n_pad >= 2048 else None
-    if mm is not None:
+    # tune the SAME model training samples (build_sampler_model's policy,
+    # via the shared TrainingConfig helpers): int8 → the QuantCoupling the
+    # quantized sampler draws from; bf16-at-scale otherwise — which also
+    # keeps the measurer's closed-over coupling under the relay's ~100 MB
+    # remote-compile constant limit
+    mm = cfg.resolved_sampler_matmul_dtype(trainer.plan.n_pad)
+    if cfg.SAMPLER_MATMUL_DTYPE == "int8":
+        from image_generation_tpu.ops.quant import quantize_coupling
+
+        cp = quantize_coupling(cp)
+    elif mm is not None:
         cp = cp.astype(mm)
-    betas0 = (
-        np.asarray(cfg.PT_BETAS, np.float64)
-        if cfg.PT_BETAS is not None
-        else np.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
-    )
+    betas0 = cfg.initial_pt_betas()
     tuned, diag0, diag1 = tune_pt_betas(
         jax.random.PRNGKey(args.seed), hp, cp, trainer.plan, betas0,
         n_iters=args.iters, n_chains=args.chains, matmul_dtype=mm,
@@ -385,7 +397,7 @@ def cmd_models(args):
               f"latents={meta.get('n_latents')} epochs={meta.get('n_epochs')}")
 
 
-def main(argv=None):
+def build_parser():
     ap = argparse.ArgumentParser(prog="image_generation_tpu")
     ap.add_argument("--workdir", default=".", help="artifact root (models/, generated_json/)")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -490,7 +502,23 @@ def main(argv=None):
 
     p = sub.add_parser("models")
     p.set_defaults(fn=cmd_models)
+    return ap
 
+
+def parse_serving_args(extra_cli):
+    """Parse the server's per-job ``extra_cli`` flag list as a ``generate``
+    invocation (unknown train-only flags tolerated) so the warm in-process
+    serving path (app/warm.py) builds its trainer from the SAME config the
+    subprocess jobs get — e.g. ``--sampler-matmul-dtype int8`` must apply
+    to /api/generate whether it is served warm or as a CLI process."""
+    args, _unknown = build_parser().parse_known_args(
+        ["generate", "--model", "_"] + list(extra_cli)
+    )
+    return args
+
+
+def main(argv=None):
+    ap = build_parser()
     args = ap.parse_args(argv)
     if getattr(args, "platform", None):
         import jax

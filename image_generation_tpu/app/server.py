@@ -528,9 +528,22 @@ def make_server(
     extra = list(extra_cli or [])
     warm = None
     if warm_generate:
+        from image_generation_tpu.app.cli import (
+            _config_overrides, parse_mesh, parse_serving_args,
+        )
         from image_generation_tpu.app.warm import WarmGenerator
 
-        warm = WarmGenerator(workdir, config_overrides=warm_overrides)
+        # the warm trainer must honor the same extra_cli flags every
+        # subprocess job receives (e.g. --sampler-matmul-dtype int8),
+        # or /api/generate silently serves a different sampler config
+        # than the jobs launched by this same server
+        sargs = parse_serving_args(extra)
+        overrides = _config_overrides(sargs)
+        overrides.update(warm_overrides or {})
+        warm = WarmGenerator(
+            workdir, config_overrides=overrides, params=sargs.params,
+            mesh=parse_mesh(sargs.mesh),
+        )
 
     def model_dir(name) -> Path | None:
         """workdir/models/<name> for a validated name, else None."""
@@ -638,8 +651,10 @@ def make_server(
                 if pj is None or not pj.exists():
                     return self._json({"error": "unknown model"}, 404)
                 try:
+                    # OSError too: the model dir can be rmtree'd between
+                    # exists() and read_text() (same race as /plain)
                     meta = json.loads(pj.read_text())
-                except json.JSONDecodeError:
+                except (OSError, json.JSONDecodeError):
                     return self._json({"html": ""})
                 return self._json({"html": model_data_html(meta)})
             if len(parts) >= 3 and parts[:2] == ["api", "render"]:
@@ -656,16 +671,17 @@ def make_server(
                 return self._json(fig if fig is not None else {}, 200 if fig else 404)
             if url.path == "/api/problem_details":
                 p = files.dir / "problem_details.json"
-                return self._json(json.loads(p.read_text()) if p.exists() else {})
+                try:  # files.clean() can rmtree between exists() and read
+                    return self._json(json.loads(p.read_text()))
+                except (OSError, json.JSONDecodeError):
+                    return self._json({})
             if url.path == "/api/problem_details_html":
                 from image_generation_tpu.app.render import problem_details_html
 
                 p = files.dir / "problem_details.json"
-                if not p.exists():
-                    return self._json({"html": ""})
-                try:
+                try:  # OSError: same clean()-race as /api/problem_details
                     details = json.loads(p.read_text())
-                except json.JSONDecodeError:
+                except (OSError, json.JSONDecodeError):
                     return self._json({"html": ""})
                 return self._json({"html": problem_details_html(details)})
             if len(parts) == 4 and parts[:2] == ["api", "topology"]:
@@ -780,6 +796,7 @@ def make_server(
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.jobs = jobs  # for tests/embedding
+    server.warm = warm
     return server
 
 

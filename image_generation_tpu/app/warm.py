@@ -30,14 +30,17 @@ from typing import Optional
 
 class WarmGenerator:
     def __init__(self, workdir, config_overrides: Optional[dict] = None,
-                 mesh="auto"):
+                 mesh="auto", params=None):
         """``config_overrides``: TrainingConfig field overrides for the
         serving trainer (tests pass tiny DATASET_SIZE/BATCH_SIZE; the
         model's own parameters.json still decides N_LATENTS/QPU at load).
-        ``mesh``: Trainer mesh control — "auto" matches the CLI default."""
+        ``mesh``: Trainer mesh control — "auto" matches the CLI default.
+        ``params``: optional training-parameters YAML path (the CLI's
+        ``--params``), applied under the overrides like _build_trainer."""
         self.workdir = Path(workdir)
         self.config_overrides = dict(config_overrides or {})
         self.mesh = mesh
+        self.params = params
         self.lock = threading.Lock()
         self._trainer = None
         self._key = None  # (resolved model dir, dvae.pth mtime_ns)
@@ -49,7 +52,11 @@ class WarmGenerator:
         mp = Path(model_path)
         key = (str(mp.resolve()), (mp / "dvae.pth").stat().st_mtime_ns)
         if self._key != key:
-            cfg = TrainingConfig(**self.config_overrides)
+            cfg = (
+                TrainingConfig.from_yaml(self.params, **self.config_overrides)
+                if self.params
+                else TrainingConfig(**self.config_overrides)
+            )
             trainer = Trainer(qpu=cfg.QPU, config=cfg, mesh=self.mesh)
             trainer.load(mp)
             self._trainer, self._key = trainer, key

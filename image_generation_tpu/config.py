@@ -151,6 +151,34 @@ class TrainingConfig:
                 f"PT_ADAPT must be 'off' or 'epoch', got {self.PT_ADAPT!r}"
             )
 
+    def initial_pt_betas(self):
+        """The INITIAL parallel-tempering ladder as a float64 numpy array:
+        the explicit/tuned ``PT_BETAS`` if set, else geometric spacing over
+        [PT_BETA_MIN, 1.0].  Single source of truth — consumed by the fused
+        step's ``betas0`` (training/step.py), the PTSampler backend
+        (training/trainer.py) and the ``tune-pt`` CLI (app/cli.py)."""
+        import numpy as np
+
+        if self.PT_BETAS is not None:
+            return np.asarray(self.PT_BETAS, np.float64)
+        return np.geomspace(self.PT_BETA_MIN, 1.0, self.PT_NUM_BETAS)
+
+    def resolved_sampler_matmul_dtype(self, n_pad: int):
+        """The sweep-matmul cast dtype for a graph padded to ``n_pad``:
+        jnp.bfloat16 under "auto" for large graphs (n_pad ≥ 2048), an
+        explicit jnp dtype, or None for f32 and for "int8" (int8 is carried
+        by the QuantCoupling the cached sampler model stores — consumers
+        branch on its type, no cast dtype is threaded).  Single source of
+        truth for make_train_fns (training/step.py) and the ``tune-pt``
+        CLI, which must measure the SAME model training samples."""
+        import jax.numpy as jnp
+
+        if self.SAMPLER_MATMUL_DTYPE == "auto":
+            return jnp.bfloat16 if n_pad >= 2048 else None
+        if self.SAMPLER_MATMUL_DTYPE in ("float32", "int8"):
+            return None
+        return jnp.dtype(self.SAMPLER_MATMUL_DTYPE)
+
     @classmethod
     def from_yaml(cls, path, **overrides) -> "TrainingConfig":
         with open(path) as f:

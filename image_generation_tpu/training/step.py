@@ -220,11 +220,7 @@ def make_train_fns(
     # traced argument of every pt_round — so PT_ADAPT's between-epoch
     # re-spacing (training/trainer.py) updates rung values with ZERO
     # recompilation, and checkpoints carry the adapted ladder.
-    betas0 = (
-        jnp.asarray(cfg.PT_BETAS, jnp.float32)
-        if cfg.PT_BETAS is not None
-        else jnp.geomspace(cfg.PT_BETA_MIN, 1.0, cfg.PT_NUM_BETAS)
-    )
+    betas0 = jnp.asarray(cfg.initial_pt_betas(), jnp.float32)
     # multi-chip: shard_map the Pallas kernel over the chain rows when they
     # tile the mesh exactly; otherwise the XLA sampler (which GSPMD
     # partitions on its own from the chains' sharding) keeps correctness.
@@ -237,16 +233,12 @@ def make_train_fns(
     # partitions from the chains' sharding on its own.
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
     int8_sampler = cfg.SAMPLER_MATMUL_DTYPE == "int8"
-    if cfg.SAMPLER_MATMUL_DTYPE == "auto":
-        # bf16 pays only when coupling-matrix traffic dominates the cast cost
-        mm_dtype = jnp.bfloat16 if plan.n_pad >= 2048 else None
-    elif cfg.SAMPLER_MATMUL_DTYPE == "float32" or int8_sampler:
-        # int8: quantization is carried by the QuantCoupling the cached
-        # sampler model stores (ops/quant.py) — every sweep/energy impl
-        # branches on it, so no cast dtype is threaded
-        mm_dtype = None
-    else:
-        mm_dtype = jnp.dtype(cfg.SAMPLER_MATMUL_DTYPE)
+    # bf16 pays only when coupling-matrix traffic dominates the cast cost;
+    # int8 quantization is carried by the QuantCoupling the cached sampler
+    # model stores (ops/quant.py — every sweep/energy impl branches on it),
+    # so no cast dtype is threaded (policy lives on TrainingConfig so the
+    # tune-pt CLI resolves the identical model)
+    mm_dtype = cfg.resolved_sampler_matmul_dtype(plan.n_pad)
     # graph partitioning (ops/gibbs_graph_sharded.py): coupling rows + spin
     # columns sharded over the mesh's "chain" axis — the beyond-single-chip
     # -HBM regime. Composes with PT: the temperature ladder shards over

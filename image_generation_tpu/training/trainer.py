@@ -437,9 +437,9 @@ class Trainer:
             cfg = self.config
             if cfg.SAMPLER == "pt":
                 backend = get_sampler(
-                    "pt", n_betas=cfg.PT_NUM_BETAS, beta_min=cfg.PT_BETA_MIN,
-                    sweeps_per_round=max(cfg.GIBBS_SWEEPS, 1),
-                    persistent=cfg.PERSISTENT_CHAINS, betas=cfg.PT_BETAS,
+                    "pt", sweeps_per_round=max(cfg.GIBBS_SWEEPS, 1),
+                    persistent=cfg.PERSISTENT_CHAINS,
+                    betas=cfg.initial_pt_betas(),  # tuned-or-geomspace, one source
                 )
             elif cfg.SAMPLER == "exact":
                 backend = get_sampler("exact")

@@ -138,6 +138,50 @@ def test_parse_pt_betas(tmp_path):
     assert _parse_pt_betas(str(p)) == [0.3, 0.7, 1.0]
     with pytest.raises(SystemExit, match="pt-betas"):
         _parse_pt_betas("0.25,garbage")
+    # malformed tune-pt files must die with the crafted message, not a
+    # raw KeyError/JSONDecodeError traceback
+    for bad in ('{"nobetas": 1}', "{truncated", '{"betas": ["x"]}'):
+        p.write_text(bad)
+        with pytest.raises(SystemExit, match="tune-pt output"):
+            _parse_pt_betas(str(p))
+
+
+def test_parse_serving_args_matches_job_config():
+    """The warm serving path must build its trainer from the same extra_cli
+    flags the subprocess jobs get (server.py make_server)."""
+    from image_generation_tpu.app.cli import _config_overrides, parse_serving_args
+
+    args = parse_serving_args([
+        "--sampler-matmul-dtype", "int8", "--sampler", "pt",
+        "--pt-betas", "0.5,1.0", "--dataset-size", "64",
+        "--artifact-every", "3",  # train-only flag: tolerated, ignored
+    ])
+    ov = _config_overrides(args)
+    assert ov["SAMPLER_MATMUL_DTYPE"] == "int8"
+    assert ov["SAMPLER"] == "pt"
+    assert ov["PT_BETAS"] == [0.5, 1.0]
+    assert ov["DATASET_SIZE"] == 64
+
+
+def test_config_ladder_and_dtype_helpers():
+    """TrainingConfig.initial_pt_betas / resolved_sampler_matmul_dtype are
+    the single source of truth shared by step.py, trainer.py and tune-pt."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_generation_tpu.config import TrainingConfig
+
+    c = TrainingConfig(PT_NUM_BETAS=4, PT_BETA_MIN=0.25)
+    np.testing.assert_allclose(
+        c.initial_pt_betas(), np.geomspace(0.25, 1.0, 4))
+    c2 = TrainingConfig(PT_BETAS=(0.3, 0.7, 1.0))
+    np.testing.assert_allclose(c2.initial_pt_betas(), [0.3, 0.7, 1.0])
+    assert c.resolved_sampler_matmul_dtype(2048) == jnp.bfloat16
+    assert c.resolved_sampler_matmul_dtype(512) is None
+    assert TrainingConfig(
+        SAMPLER_MATMUL_DTYPE="int8").resolved_sampler_matmul_dtype(4096) is None
+    assert TrainingConfig(
+        SAMPLER_MATMUL_DTYPE="float32").resolved_sampler_matmul_dtype(4096) is None
 
 
 @pytest.mark.slow

@@ -186,6 +186,25 @@ def test_warm_generate(tmp_path):
         srv.shutdown()
 
 
+def test_warm_serving_honors_extra_cli(tmp_path):
+    """make_server(warm_generate=True) must feed the per-job extra_cli flags
+    into the warm trainer's config — /api/generate has to sample the same
+    model whether it is served warm or as a CLI subprocess."""
+    from image_generation_tpu.app.server import make_server
+
+    srv = make_server(
+        tmp_path, port=0,
+        extra_cli=["--sampler-matmul-dtype", "int8", "--dataset-size", "32"],
+        warm_generate=True,
+        warm_overrides={"DATASET_SIZE": 64},  # explicit overrides win
+    )
+    try:
+        assert srv.warm.config_overrides["SAMPLER_MATMUL_DTYPE"] == "int8"
+        assert srv.warm.config_overrides["DATASET_SIZE"] == 64
+    finally:
+        srv.server_close()
+
+
 def test_generate_unknown_model_404(server):
     srv, port, _ = server
     status, resp = _post(port, "/api/generate", {"model": "nope"})
