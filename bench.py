@@ -207,6 +207,14 @@ def main():
         "HBM-streaming kernel's coupling traffic (ops/quant.py)",
     )
     ap.add_argument(
+        "--sweep-block-sparse",
+        choices=("auto", "on", "off"),
+        default=None,
+        help="block-sparse sweeps (SWEEP_BLOCK_SPARSE): pack the coupling "
+        "into occupied chunk panels, ~3-4x fewer sweep FLOPs/bytes on "
+        "hardware graphs (ops/block_sparse.py)",
+    )
+    ap.add_argument(
         "--pt-num-betas", type=int, default=None,
         help="override the PT ladder size (scaled config default 32) — "
         "ladder right-sizing experiments: the real scaled model's measured "
@@ -266,6 +274,8 @@ def main():
         cfg = cfg.replace(ADAM_MOMENT_DTYPE=args.adam_moment_dtype)
     if args.sampler_matmul_dtype:
         cfg = cfg.replace(SAMPLER_MATMUL_DTYPE=args.sampler_matmul_dtype)
+    if args.sweep_block_sparse:
+        cfg = cfg.replace(SWEEP_BLOCK_SPARSE=args.sweep_block_sparse)
     if args.pt_num_betas:
         cfg = cfg.replace(PT_NUM_BETAS=args.pt_num_betas)
 

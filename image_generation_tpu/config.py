@@ -84,6 +84,19 @@ class TrainingConfig:
     # backends when the problem fits VMEM. On a multi-chip mesh the kernel
     # runs under shard_map (zero-comm chain sharding) whenever the chain
     # count tiles the mesh; otherwise the XLA sampler partitions via GSPMD.
+    SWEEP_BLOCK_SPARSE: str = "auto"  # "auto" | "on" | "off" — pack the
+    # cached sampler coupling into its occupied chunk panels and sweep only
+    # those (ops/block_sparse.py).  Hardware graphs are sparse (degree ≤ 20)
+    # and the plan's BFS member ordering concentrates each color's couplings
+    # into few chunks, so sweep FLOPs and coupling HBM traffic drop by the
+    # measured occupancy (~3-4× at the scaled Pegasus config).  auto = on
+    # for large graphs (n_pad ≥ 2048) on the XLA / HBM-streaming Pallas
+    # sweep paths when the occupancy is ≤ 0.75; never used by the
+    # VMEM-resident kernel (dense-in-VMEM is already optimal) or in
+    # GRAPH_SHARDED mode.  Composes with SAMPLER_MATMUL_DTYPE="int8".
+    SWEEP_BS_CHUNK: int = 256  # block-sparse chunk height (rows); 128 packs
+    # tighter (less traffic), 256 halves the kernel's unrolled dot count —
+    # the measured sweet spot on the scaled config
     GRAPH_SHARDED: str = "auto"  # "auto" | "on" | "off" — partition the
     # GRAPH dimension over the mesh's "chain" axis: the dense permuted
     # coupling matrix is row-sharded and the chains' spin columns
@@ -110,7 +123,7 @@ class TrainingConfig:
         # unequal to both "on" and "auto" in make_train_fns and silently
         # behave as "off", replicating a beyond-HBM coupling.  Normalize
         # bools to the string form and fail loudly on anything else.
-        for field in ("GRAPH_SHARDED", "USE_PALLAS"):
+        for field in ("GRAPH_SHARDED", "USE_PALLAS", "SWEEP_BLOCK_SPARSE"):
             v = getattr(self, field)
             if isinstance(v, bool):
                 v = "on" if v else "off"

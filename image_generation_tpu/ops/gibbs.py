@@ -94,6 +94,45 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _bfs_order(graph: GRBMGraph) -> np.ndarray:
+    """Deterministic BFS rank of every node (component-by-component from the
+    lowest-index unvisited node, neighbors visited in ascending index order).
+
+    Used to order color-class members so that graph-adjacent nodes sit at
+    nearby padded positions: the neighbors of a contiguous run of same-color
+    spins then land in FEW 128-row chunks of each other color block, which
+    is what makes the coupling matrix block-SPARSE (ops/block_sparse.py) —
+    measured on the ideal Pegasus P16 latent (5640 spins), BFS ordering cuts
+    occupied 128×128 coupling tiles from 49% to 26% versus index order."""
+    n = graph.n
+    # CSR adjacency with sorted neighbor lists (both edge directions)
+    src = np.concatenate([graph.edge_i, graph.edge_j])
+    dst = np.concatenate([graph.edge_j, graph.edge_i])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    starts = np.searchsorted(src, np.arange(n + 1))
+    rank = np.full(n, -1, dtype=np.int32)
+    nxt = 0
+    queue: list[int] = []
+    for root in range(n):
+        if rank[root] >= 0:
+            continue
+        rank[root] = nxt
+        nxt += 1
+        queue.append(root)
+        head = 0
+        while head < len(queue):
+            v = queue[head]
+            head += 1
+            for u in dst[starts[v] : starts[v + 1]]:
+                if rank[u] < 0:
+                    rank[u] = nxt
+                    nxt += 1
+                    queue.append(int(u))
+        queue.clear()
+    return rank
+
+
 def build_plan(
     graph: GRBMGraph, pad_to: int = 128, max_class: Optional[int] = None
 ) -> GibbsPlan:
@@ -115,8 +154,13 @@ def build_plan(
     n = graph.n
     n_colors = (max(cc.values()) + 1) if n else 0
     raw_classes = [[] for _ in range(n_colors)]
-    for v in range(n):
-        raw_classes[cc[v]].append(v)
+    # members ordered by BFS rank, not index: graph-adjacent nodes land at
+    # nearby padded positions in EVERY color block, concentrating each
+    # block's couplings into few 128-row chunks — the structure the
+    # block-sparse sweeps exploit (ops/block_sparse.py, _bfs_order note)
+    rank = _bfs_order(graph)
+    for v in np.argsort(rank, kind="stable"):
+        raw_classes[cc[int(v)]].append(int(v))
     classes = []
     for members in raw_classes:
         for i in range(0, len(members), max_class):
@@ -208,6 +252,19 @@ def gibbs_sweeps(
 
     Returns spins, or (spins, delta_e) when ``track_delta_e``.
     """
+    from image_generation_tpu.ops.block_sparse import (
+        BlockSparseCoupling,
+        gibbs_sweeps_block_sparse,
+    )
+
+    if isinstance(coupling_p, BlockSparseCoupling):
+        # packed occupied chunks (ops/block_sparse.py): same sweep, reading
+        # only the nonzero coupling tiles — FLOPs/traffic drop ~3-4× on
+        # hardware graphs
+        return gibbs_sweeps_block_sparse(
+            key, hp, coupling_p, plan, spins_p, n_sweeps, beta,
+            matmul_dtype=matmul_dtype, track_delta_e=track_delta_e,
+        )
     beta = jnp.asarray(beta, dtype=spins_p.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     blocks = plan.blocks
@@ -273,6 +330,13 @@ def ising_energies(
     the ±1 × int8 product accumulates in int32 (exact), scaled out once in
     f32 (``matmul_dtype`` is ignored).
     """
+    from image_generation_tpu.ops.block_sparse import (
+        BlockSparseCoupling,
+        ising_energies_block_sparse,
+    )
+
+    if isinstance(coupling_p, BlockSparseCoupling):
+        return ising_energies_block_sparse(hp, coupling_p, spins_p)
     if isinstance(coupling_p, QuantCoupling):
         sa = jax.lax.dot_general(
             spins_p.astype(jnp.int8),

@@ -60,14 +60,19 @@ def _uniform_hw(chains, width):
 
 
 def hbm_chain_block(
-    plan: GibbsPlan, n_chains: int, block_dtype=jnp.bfloat16, cap: int = 512
+    plan: GibbsPlan, n_chains: int, block_dtype=jnp.bfloat16, cap: int = 512,
+    scratch_rows: int | None = None,
 ) -> int:
     """Largest divisor of ``n_chains`` ≤ cap whose VMEM footprint
     (spin buffer + double-buffered coupling scratch + fields) fits the
-    budget."""
+    budget.
+
+    ``scratch_rows``: rows per coupling-scratch slot — ``n_pad`` for the
+    dense stream (default), the largest packed panel for the block-sparse
+    stream (ops/block_sparse.py)."""
     itemsize = jnp.dtype(block_dtype).itemsize
     max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
-    scratch = 2 * plan.n_pad * max_w * itemsize
+    scratch = 2 * (scratch_rows or plan.n_pad) * max_w * itemsize
     b = min(n_chains, cap)
     while b > 1:
         if n_chains % b == 0:
@@ -176,6 +181,109 @@ def _kernel(plan: GibbsPlan, n_half: int, block: int, use_hw_rng: bool,
     store.wait()
 
 
+def _kernel_bs(plan: GibbsPlan, chunk: int, rows, offs, starts, n_half: int,
+               block: int, use_hw_rng: bool, track_de: bool, *refs):
+    """Block-sparse variant of ``_kernel``: the HBM input is the PACKED
+    occupied-chunk panels (ops/block_sparse.py pack_coupling) and per color
+    only those rows are DMA'd — coupling traffic and sweep FLOPs drop by the
+    chunk occupancy (~3-4× on hardware graphs).  Everything else (slot
+    scheduling, RNG, ΔE, int8 quantized units) matches ``_kernel``; all
+    chunk indices/offsets are compile-time constants from the plan."""
+    de_ref = None
+    if use_hw_rng:
+        if track_de:
+            (seed_ref, h_ref, beta_ref, panels_hbm, spins_hbm, out_hbm,
+             de_ref, spins_vmem, scratch, sems, spin_sem) = refs
+        else:
+            (seed_ref, h_ref, beta_ref, panels_hbm, spins_hbm, out_hbm,
+             spins_vmem, scratch, sems, spin_sem) = refs
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        uniforms_ref = None
+    else:
+        if track_de:
+            (h_ref, beta_ref, panels_hbm, uniforms_ref, spins_hbm, out_hbm,
+             de_ref, spins_vmem, scratch, sems, spin_sem) = refs
+        else:
+            (h_ref, beta_ref, panels_hbm, uniforms_ref, spins_hbm, out_hbm,
+             spins_vmem, scratch, sems, spin_sem) = refs
+    if de_ref is not None:
+        de_ref[:] = jnp.zeros_like(de_ref)
+    i = pl.program_id(0)
+    row_sel = pl.ds(i * block, block)
+    blocks = plan.blocks
+    n_colors = len(blocks)
+    seq = [(step, c) for step in range(2) for c in range(n_colors)]
+
+    def dma(slot, color):
+        nc = len(rows[color])
+        return pltpu.make_async_copy(
+            panels_hbm.at[pl.ds(offs[color] * chunk, nc * chunk), :],
+            scratch.at[slot, pl.ds(0, nc * chunk), :],
+            sems.at[slot],
+        )
+
+    load = pltpu.make_async_copy(spins_hbm.at[row_sel, :], spins_vmem.at[:], spin_sem)
+    load.start()
+    if rows[seq[0][1]]:
+        dma(0, seq[0][1]).start()
+    load.wait()
+
+    quant = spins_vmem.dtype == jnp.int8  # quantized units (see _kernel)
+
+    def half(i_half, carry):
+        for k, (step, c) in enumerate(seq):
+            slot = k % 2
+            c0, _valid, c1 = blocks[c]
+            width = c1 - c0
+            rlist = rows[c]
+            nk = (k + 1) % len(seq)
+            if rows[seq[nk][1]]:
+                dma((k + 1) % 2, seq[nk][1]).start()
+            if rlist:
+                dma(slot, c).wait()
+                acc = None
+                for j, r in enumerate(rlist):
+                    part = jnp.dot(
+                        spins_vmem[:, starts[r] : starts[r] + chunk],
+                        scratch[slot, j * chunk : (j + 1) * chunk, :width],
+                        preferred_element_type=jnp.int32 if quant else jnp.float32,
+                    )
+                    acc = part if acc is None else acc + part
+                fields = acc.astype(jnp.float32) if quant else acc
+                fields = fields + h_ref[0, c0:c1]
+            else:
+                fields = jnp.broadcast_to(h_ref[0, c0:c1], (block, width))
+            p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields)
+            if uniforms_ref is None:
+                u = _uniform_hw(block, width)
+            else:
+                u = uniforms_ref[2 * i_half + step, :, c0:c1]
+            new = jnp.where(u < p_plus, 1.0, -1.0)
+            if de_ref is not None:
+                old = spins_vmem[:, c0:c1]
+                old = (
+                    old.astype(jnp.int32).astype(jnp.float32)  # Mosaic-safe
+                    if quant else old.astype(jnp.float32)
+                )
+                de_ref[:] = de_ref[:] + jnp.sum(
+                    fields * (new - old), axis=-1, keepdims=True
+                )
+            if quant:
+                new_i32 = jnp.where(u < p_plus, jnp.int32(1), jnp.int32(-1))
+                spins_vmem[:, c0:c1] = new_i32.astype(spins_vmem.dtype)
+            else:
+                spins_vmem[:, c0:c1] = new.astype(spins_vmem.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, n_half, half, 0)
+    # drain the dangling wrap-around prefetch (slot 0: len(seq) is even)
+    if rows[seq[0][1]]:
+        dma(0, seq[0][1]).wait()
+    store = pltpu.make_async_copy(spins_vmem.at[:], out_hbm.at[row_sel, :], spin_sem)
+    store.start()
+    store.wait()
+
+
 def gibbs_sweeps_pallas_hbm(
     key: jax.Array,
     hp: jax.Array,
@@ -204,19 +312,46 @@ def gibbs_sweeps_pallas_hbm(
     spin block in int8 — halving the kernel's HBM traffic on top of the 2×
     int8 MXU rate.  The kernel works in quantized units (h/scale, β·scale);
     spins come back f32 and ΔE is rescaled here (``block_dtype`` ignored).
+
+    A ``BlockSparseCoupling`` (ops/block_sparse.py) streams only the packed
+    OCCUPIED coupling chunks per color — traffic and sweep FLOPs drop by the
+    chunk occupancy (~3-4× on hardware graphs); spins live in the panels'
+    dtype (``block_dtype`` ignored) and the int8-quantized form composes.
     """
+    from image_generation_tpu.ops.block_sparse import (
+        BlockSparseCoupling,
+        chunk_starts,
+        color_chunk_rows,
+        panel_offsets,
+    )
     from image_generation_tpu.ops.quant import QuantCoupling
 
     n_chains, n_pad = spins_p.shape
     assert n_pad == plan.n_pad
-    quant = isinstance(coupling_p, QuantCoupling)
+    bs = coupling_p if isinstance(coupling_p, BlockSparseCoupling) else None
+    if bs is not None:
+        assert bs.plan is plan, "plan/coupling mismatch"
+    quant = isinstance(coupling_p, QuantCoupling) or (
+        bs is not None and bs.quantized
+    )
     if quant:
         q_scale = coupling_p.scale
         hp_eff, beta_eff, block_dtype = hp / q_scale, jnp.asarray(
             beta, jnp.float32) * q_scale, jnp.int8
     else:
         hp_eff, beta_eff = hp, beta
-    block = hbm_chain_block(plan, n_chains, block_dtype, cap=chain_block)
+        if bs is not None:
+            block_dtype = bs.panels.dtype  # spins pair the panels' dtype
+    scratch_rows = None
+    if bs is not None:
+        _rows = color_chunk_rows(plan, bs.chunk)
+        _offs, _total = panel_offsets(plan, bs.chunk)
+        _starts = chunk_starts(plan.n_pad, bs.chunk)
+        max_nc = max((len(r) for r in _rows), default=0)
+        scratch_rows = max(max_nc, 1) * bs.chunk
+    block = hbm_chain_block(
+        plan, n_chains, block_dtype, cap=chain_block, scratch_rows=scratch_rows
+    )
     grid = n_chains // block
     n_half = -(-n_sweeps // 2)  # two sweeps per loop iteration
     max_w = max(c1 - c0 for c0, _, c1 in plan.blocks)
@@ -228,9 +363,15 @@ def gibbs_sweeps_pallas_hbm(
     use_hw_rng = uniforms is None
     sdt = jnp.dtype(block_dtype)
 
-    kernel = functools.partial(
-        _kernel, plan, n_half, block, use_hw_rng, track_delta_e
-    )
+    if bs is not None:
+        kernel = functools.partial(
+            _kernel_bs, plan, bs.chunk, _rows, _offs, _starts, n_half, block,
+            use_hw_rng, track_delta_e,
+        )
+    else:
+        kernel = functools.partial(
+            _kernel, plan, n_half, block, use_hw_rng, track_delta_e
+        )
     spins_out_spec = pl.BlockSpec(memory_space=pl.ANY)  # written by manual DMA
     spins_out_shape = jax.ShapeDtypeStruct((n_chains, n_pad), sdt)
     if track_delta_e:
@@ -250,7 +391,9 @@ def gibbs_sweeps_pallas_hbm(
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block, n_pad), sdt),  # resident spin block
-            pltpu.VMEM((2, n_pad, max_w), sdt),  # coupling double-buffer
+            # coupling double-buffer: dense column panels, or the packed
+            # occupied chunks (block-sparse — rows shrink by the occupancy)
+            pltpu.VMEM((2, scratch_rows or n_pad, max_w), sdt),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -261,7 +404,12 @@ def gibbs_sweeps_pallas_hbm(
     beta_spec = pl.BlockSpec((block, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     coupling_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
     spins_spec = pl.BlockSpec(memory_space=pl.ANY)  # loaded by manual DMA
-    coupling_cast = coupling_p.q if quant else coupling_p.astype(sdt)
+    if bs is not None:
+        coupling_cast = bs.panels  # already stored in the resident dtype
+    elif quant:
+        coupling_cast = coupling_p.q
+    else:
+        coupling_cast = coupling_p.astype(sdt)
     spins_cast = spins_p.astype(sdt)
 
     def _unpack(out):

@@ -281,6 +281,30 @@ def make_train_fns(
             and plan.n_pad * plan.n_pad * _coupling_itemsize > (2 << 30)
         )
     )
+    # block-sparse sweeps (ops/block_sparse.py): the cached coupling is
+    # packed into its occupied chunk panels and the XLA / HBM-Pallas sweeps
+    # read only those — FLOPs and coupling traffic drop by the measured
+    # chunk occupancy (~3-4× on hardware graphs, whose BFS-ordered plans
+    # concentrate each color's couplings into few chunks).  Not for the
+    # VMEM-resident kernel (dense-in-VMEM is already optimal) or the
+    # graph-sharded layout (rows are partitioned over the mesh instead).
+    block_sparse = not graph_sharded and cfg.SWEEP_BLOCK_SPARSE != "off"
+    if block_sparse and cfg.SWEEP_BLOCK_SPARSE == "auto":
+        from image_generation_tpu.ops.block_sparse import chunk_occupancy
+
+        block_sparse = (
+            plan.n_pad >= 2048
+            and chunk_occupancy(plan, cfg.SWEEP_BS_CHUNK) <= 0.75
+        )
+    if block_sparse and pallas_ok and pallas_vmem:
+        if cfg.SWEEP_BLOCK_SPARSE == "on":
+            # honoring the explicit request: the packed form replaces the
+            # dense cache, which the VMEM kernel needs — use the streaming
+            # kernel (auto never lands here: its n_pad gate excludes
+            # VMEM-sized problems)
+            pallas_vmem = False
+        else:
+            block_sparse = False
     if graph_sharded:
         # composes with int8: the quantized coupling's int8 rows shard the
         # same way (QuantCoupling q over 'chain', scale replicated) and the
@@ -297,6 +321,8 @@ def make_train_fns(
         sampler_impl = "xla"
     if int8_sampler:
         sampler_impl += "+int8"  # observability: bench/tests assert the path
+    if block_sparse:
+        sampler_impl += "+bs"
 
     # PT swap energies in graph-sharded mode go through the reduce_scatter
     # layout — the plain ising_energies under GSPMD is free to all-gather
@@ -454,6 +480,14 @@ def make_train_fns(
             # negative-phase refresh (bf16 sampling is statistically
             # validated in tests/test_gibbs.py)
             coupling_p = coupling_p.astype(mm_dtype)
+        if block_sparse:
+            # pack the occupied chunk panels (ops/block_sparse.py) — this
+            # REPLACES the dense cache: sweeps (XLA + HBM Pallas) and ladder
+            # energies all read the packed form, and the resident coupling
+            # shrinks by the occupancy factor on top of the dtype savings
+            from image_generation_tpu.ops.block_sparse import pack_coupling
+
+            coupling_p = pack_coupling(plan, coupling_p, cfg.SWEEP_BS_CHUNK)
         if graph_sharded:
             # constrain so GSPMD CONSTRUCTS the dense matrix row-sharded —
             # a replicated intermediate would defeat the memory point

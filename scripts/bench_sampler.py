@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--chains", type=int, default=2048)
     ap.add_argument("--sweeps", type=int, default=4)
     ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument(
+        "--bs-chunks", type=int, nargs="*", default=[128, 256],
+        help="block-sparse chunk heights to bench (ops/block_sparse.py)",
+    )
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -81,6 +85,14 @@ def main():
     key = jax.random.PRNGKey(2)
     n_sw = args.sweeps
 
+    # block-sparse packed forms (ops/block_sparse.py): occupied-chunk panels
+    from image_generation_tpu.ops.block_sparse import chunk_occupancy, pack_coupling
+
+    bs_bf16 = {c: pack_coupling(plan, cp_bf16, chunk=c) for c in args.bs_chunks}
+    bs_int8 = {c: pack_coupling(plan, qc, chunk=c) for c in args.bs_chunks}
+    for c in args.bs_chunks:
+        print(f"chunk {c}: occupancy {chunk_occupancy(plan, c):.3f}")
+
     variants = {
         "pallas_hbm_bf16": lambda k, s: gibbs_sweeps_pallas_hbm(
             k, hp, cp_bf16, plan, s, n_sw, block_dtype=jnp.bfloat16
@@ -93,6 +105,20 @@ def main():
         ),
         "xla_int8": lambda k, s: gibbs_sweeps(k, hp, qc, plan, s, n_sw),
     }
+    for c in args.bs_chunks:
+        variants[f"pallas_hbm_bs{c}_bf16"] = (
+            lambda k, s, b=bs_bf16[c]: gibbs_sweeps_pallas_hbm(
+                k, hp, b, plan, s, n_sw
+            )
+        )
+        variants[f"pallas_hbm_bs{c}_int8"] = (
+            lambda k, s, b=bs_int8[c]: gibbs_sweeps_pallas_hbm(
+                k, hp, b, plan, s, n_sw
+            )
+        )
+        variants[f"xla_bs{c}_bf16"] = (
+            lambda k, s, b=bs_bf16[c]: gibbs_sweeps(k, hp, b, plan, s, n_sw)
+        )
     out = {
         "device": str(getattr(dev, "device_kind", dev.platform)),
         "n": graph.n, "n_pad": plan.n_pad, "chains": args.chains,
