@@ -367,6 +367,14 @@ def cmd_tune_pt(args):
         cp = quantize_coupling(cp)
     elif mm is not None:
         cp = cp.astype(mm)
+    if cfg.resolved_block_sparse(trainer.plan):
+        # measure the packed model training samples (same single-source
+        # policy as make_train_fns); the packed panels are also ~4× smaller
+        # than dense — further relief for the relay's ~100 MB remote-compile
+        # constant limit the measurer's closure is subject to
+        from image_generation_tpu.ops.block_sparse import pack_coupling
+
+        cp = pack_coupling(trainer.plan, cp, cfg.SWEEP_BS_CHUNK)
     betas0 = cfg.initial_pt_betas()
     tuned, diag0, diag1 = tune_pt_betas(
         jax.random.PRNGKey(args.seed), hp, cp, trainer.plan, betas0,

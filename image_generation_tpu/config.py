@@ -192,6 +192,23 @@ class TrainingConfig:
             return None
         return jnp.dtype(self.SAMPLER_MATMUL_DTYPE)
 
+    def resolved_block_sparse(self, plan) -> bool:
+        """Whether the packed block-sparse coupling (ops/block_sparse.py)
+        applies to ``plan`` under this config — before the impl-specific
+        vetoes make_train_fns adds (VMEM kernel, GRAPH_SHARDED).  Single
+        source of truth for training/step.py and the ``tune-pt`` CLI,
+        which must measure the SAME packed model training samples."""
+        if self.SWEEP_BLOCK_SPARSE == "off":
+            return False
+        if self.SWEEP_BLOCK_SPARSE == "on":
+            return True
+        from image_generation_tpu.ops.block_sparse import chunk_occupancy
+
+        return (
+            plan.n_pad >= 2048
+            and chunk_occupancy(plan, self.SWEEP_BS_CHUNK) <= 0.75
+        )
+
     @classmethod
     def from_yaml(cls, path, **overrides) -> "TrainingConfig":
         with open(path) as f:

@@ -288,14 +288,7 @@ def make_train_fns(
     # concentrate each color's couplings into few chunks).  Not for the
     # VMEM-resident kernel (dense-in-VMEM is already optimal) or the
     # graph-sharded layout (rows are partitioned over the mesh instead).
-    block_sparse = not graph_sharded and cfg.SWEEP_BLOCK_SPARSE != "off"
-    if block_sparse and cfg.SWEEP_BLOCK_SPARSE == "auto":
-        from image_generation_tpu.ops.block_sparse import chunk_occupancy
-
-        block_sparse = (
-            plan.n_pad >= 2048
-            and chunk_occupancy(plan, cfg.SWEEP_BS_CHUNK) <= 0.75
-        )
+    block_sparse = not graph_sharded and cfg.resolved_block_sparse(plan)
     if block_sparse and pallas_ok and pallas_vmem:
         if cfg.SWEEP_BLOCK_SPARSE == "on":
             # honoring the explicit request: the packed form replaces the

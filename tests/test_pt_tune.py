@@ -59,6 +59,41 @@ def test_acceptance_estimator_sane(glass):
     np.testing.assert_allclose(same.accept, 1.0, atol=1e-6)
 
 
+def test_acceptance_measurer_block_sparse_matches_dense(glass):
+    """``tune-pt`` packs the coupling whenever the training step will
+    (single-source policy, TrainingConfig.resolved_block_sparse) — the
+    measurement on the packed model must match the dense one (packing is a
+    pure re-layout; the only difference is f32 summation order across the
+    per-chunk matmuls, invisible at acceptance level — exact-equality
+    coverage with integer couplings lives in tests/test_block_sparse.py)."""
+    from image_generation_tpu.ops.block_sparse import pack_coupling
+
+    plan, hp, cp = glass
+    betas = np.geomspace(0.15, 1.0, 5)
+    dense = swap_acceptance(
+        jax.random.PRNGKey(5), hp, cp, plan, betas, n_chains=64, n_rounds=8
+    )
+    packed = swap_acceptance(
+        jax.random.PRNGKey(5), hp, pack_coupling(plan, cp, chunk=8), plan,
+        betas, n_chains=64, n_rounds=8,
+    )
+    np.testing.assert_allclose(dense.accept, packed.accept, rtol=1e-6)
+
+
+def test_resolved_block_sparse_single_source(glass):
+    """The config-level policy the CLI consults must agree with what
+    make_train_fns resolves (before its impl-specific vetoes)."""
+    plan, _hp, _cp = glass
+    assert TrainingConfig(SWEEP_BLOCK_SPARSE="on").resolved_block_sparse(plan)
+    assert not TrainingConfig(
+        SWEEP_BLOCK_SPARSE="off"
+    ).resolved_block_sparse(plan)
+    # auto: this toy plan is far below the n_pad >= 2048 gate
+    assert not TrainingConfig(
+        SWEEP_BLOCK_SPARSE="auto"
+    ).resolved_block_sparse(plan)
+
+
 def test_config_pt_betas_override():
     cfg = TrainingConfig(SAMPLER="pt", PT_BETAS=[0.3, 0.6, 1.0])
     assert cfg.PT_NUM_BETAS == 3 and cfg.PT_BETAS == (0.3, 0.6, 1.0)
