@@ -57,6 +57,8 @@ def _config_overrides(args):
         overrides["SAMPLER_MATMUL_DTYPE"] = args.sampler_matmul_dtype
     if getattr(args, "sweep_block_sparse", None) is not None:
         overrides["SWEEP_BLOCK_SPARSE"] = args.sweep_block_sparse
+    if getattr(args, "sweep_bs_chunk", None) is not None:
+        overrides["SWEEP_BS_CHUNK"] = args.sweep_bs_chunk
     if getattr(args, "sampler", None) is not None:
         overrides["SAMPLER"] = args.sampler
     if getattr(args, "pt_betas", None):
@@ -458,7 +460,14 @@ def build_parser():
         help="pack the sampler coupling into its occupied chunk panels and "
         "sweep only those (default auto = on for large sparse graphs; "
         "~3-4x fewer sweep FLOPs/bytes on hardware topologies — "
-        "ops/block_sparse.py)",
+        "ops/block_sparse.py; composes with --graph-sharded: each row "
+        "shard packs its own chunks, ops/block_sparse_sharded.py)",
+    )
+    common.add_argument(
+        "--sweep-bs-chunk", default=None, type=int,
+        help="block-sparse chunk height in rows (default 256; 128 packs "
+        "tighter; must fit one graph-axis row shard when composed with "
+        "--graph-sharded)",
     )
     common.add_argument(
         "--sampler", default=None, choices=["gibbs", "pt", "exact"],

@@ -92,8 +92,10 @@ class TrainingConfig:
     # measured occupancy (~3-4× at the scaled Pegasus config).  auto = on
     # for large graphs (n_pad ≥ 2048) on the XLA / HBM-streaming Pallas
     # sweep paths when the occupancy is ≤ 0.75; never used by the
-    # VMEM-resident kernel (dense-in-VMEM is already optimal) or in
-    # GRAPH_SHARDED mode.  Composes with SAMPLER_MATMUL_DTYPE="int8".
+    # VMEM-resident kernel (dense-in-VMEM is already optimal).  Composes
+    # with SAMPLER_MATMUL_DTYPE="int8" AND with GRAPH_SHARDED (each row
+    # shard packs its own occupied chunks — ops/block_sparse_sharded.py;
+    # auto there gates on the PADDED per-shard occupancy instead).
     SWEEP_BS_CHUNK: int = 256  # block-sparse chunk height (rows); 128 packs
     # tighter (less traffic), 256 halves the kernel's unrolled dot count —
     # the measured sweet spot on the scaled config
@@ -195,9 +197,11 @@ class TrainingConfig:
     def resolved_block_sparse(self, plan) -> bool:
         """Whether the packed block-sparse coupling (ops/block_sparse.py)
         applies to ``plan`` under this config — before the impl-specific
-        vetoes make_train_fns adds (VMEM kernel, GRAPH_SHARDED).  Single
-        source of truth for training/step.py and the ``tune-pt`` CLI,
-        which must measure the SAME packed model training samples."""
+        gates make_train_fns adds (VMEM-kernel veto; in GRAPH_SHARDED mode
+        the shard-local fit and padded-occupancy gates of
+        ops/block_sparse_sharded.py).  Single source of truth for
+        training/step.py and the ``tune-pt`` CLI, which must measure the
+        SAME packed model training samples."""
         if self.SWEEP_BLOCK_SPARSE == "off":
             return False
         if self.SWEEP_BLOCK_SPARSE == "on":

@@ -29,8 +29,10 @@ QuantCoupling's int8 rows and carry its scale; accumulation stays int32
 (exact), so block-sparse int8 sweeps sample the SAME quantized model as the
 dense int8 path, bit-for-bit.
 
-Not used in graph-sharded mode (ops/gibbs_graph_sharded.py row-shards the
-dense matrix over the mesh; fusing the two layouts is future work).
+Composes with graph-sharded mode via the per-shard packed layout in
+ops/block_sparse_sharded.py (each row shard packs its own occupied chunks
+on a shard-local grid — this module's global packing assumes the whole
+matrix on one device).
 """
 
 from __future__ import annotations

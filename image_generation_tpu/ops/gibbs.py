@@ -337,6 +337,17 @@ def ising_energies(
 
     if isinstance(coupling_p, BlockSparseCoupling):
         return ising_energies_block_sparse(hp, coupling_p, spins_p)
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+    )
+
+    if isinstance(coupling_p, ShardedBlockSparseCoupling):
+        # the per-shard packed layout only makes sense on its mesh — a
+        # replicated-energy call on it is a routing bug, not a math request
+        raise TypeError(
+            "graph-sharded packed coupling: use "
+            "ops.gibbs_graph_sharded.ising_energies_graph_sharded"
+        )
     if isinstance(coupling_p, QuantCoupling):
         sa = jax.lax.dot_general(
             spins_p.astype(jnp.int8),

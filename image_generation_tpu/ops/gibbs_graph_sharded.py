@@ -92,9 +92,46 @@ def supports_graph_sharding(plan: GibbsPlan, mesh: Mesh, graph_axis: str) -> boo
     )
 
 
+def _check_packed_layout(coupling_p, plan, mesh, graph_axis):
+    """A packed block-sparse coupling bakes in its shard count (and plan):
+    reject a layout built for a different mesh factorization up front —
+    shard_map would otherwise mis-slice the panel rows silently."""
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+    )
+
+    if not isinstance(coupling_p, ShardedBlockSparseCoupling):
+        return
+    if coupling_p.n_shards != mesh.shape[graph_axis]:
+        raise ValueError(
+            f"packed coupling was built for {coupling_p.n_shards} graph "
+            f"shards but mesh axis {graph_axis!r} has "
+            f"{mesh.shape[graph_axis]} — rebuild the sampler cache "
+            f"(fns.rebuild_sampler) for this mesh"
+        )
+    if plan is not None and coupling_p.plan is not plan:
+        raise ValueError("plan/packed-coupling mismatch")
+
+
 def _coupling_spec(coupling_p, graph_axis):
-    """shard_map in_spec for the coupling argument: row-sharded matrix, or
-    the (q=row-sharded, scale=replicated) pytree of a QuantCoupling."""
+    """shard_map in_spec for the coupling argument: row-sharded matrix, the
+    (q=row-sharded, scale=replicated) pytree of a QuantCoupling, or the
+    (panels/offs row-sharded, scale replicated) pytree of the packed
+    block-sparse form (ops/block_sparse_sharded.py)."""
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+    )
+
+    if isinstance(coupling_p, ShardedBlockSparseCoupling):
+        return ShardedBlockSparseCoupling(
+            panels=P(graph_axis, None),
+            offs=P(graph_axis, None),
+            scale=P() if coupling_p.quantized else None,
+            plan=coupling_p.plan,
+            chunk=coupling_p.chunk,
+            kmax=coupling_p.kmax,
+            n_shards=coupling_p.n_shards,
+        )
     if isinstance(coupling_p, QuantCoupling):
         return QuantCoupling(q=P(graph_axis, None), scale=P())
     return P(graph_axis, None)
@@ -125,6 +162,11 @@ def _sweep_body(
     row0 = jax.lax.axis_index(row_axis) * c_loc if row_axis else 0
     row_ids = row0 + jnp.arange(c_loc)
 
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+        color_partial_fields,
+    )
+
     beta = jnp.asarray(beta, dtype=s_loc.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     # int8-quantized coupling shard (ops/quant.py): partial fields
@@ -132,8 +174,17 @@ def _sweep_body(
     # graph axis is exact too and the scale-out happens once, after the
     # collective; the result samples the quantized model identically to
     # the single-device int8 path (``matmul_dtype`` is ignored).
-    quant = isinstance(a_loc, QuantCoupling)
-    if quant:
+    packed = isinstance(a_loc, ShardedBlockSparseCoupling)
+    quant = isinstance(a_loc, QuantCoupling) or (packed and a_loc.quantized)
+    if packed:
+        # block-sparse packed rows (ops/block_sparse_sharded.py): this
+        # shard's occupied chunk panels + their local offsets; the per-color
+        # matmul reads only those (panels are already in resident dtype)
+        bsc_parts = (
+            a_loc.panels, a_loc.offs, a_loc.slot_base, a_loc.kmax, a_loc.chunk,
+        )
+        q_scale = a_loc.scale
+    elif quant:
         a_mm, q_scale = a_loc.q, a_loc.scale
     else:
         a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
@@ -143,20 +194,33 @@ def _sweep_body(
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
-            if quant:
-                s_mm = s.astype(jnp.int8)
+            if packed:
+                partial_f = color_partial_fields(
+                    bsc_parts, s, c, start, stop, quantized=quant,
+                    matmul_dtype=matmul_dtype,
+                )
             else:
-                s_mm = s.astype(matmul_dtype) if matmul_dtype else s
-            partial_f = jax.lax.dot_general(
-                s_mm,
-                jax.lax.slice_in_dim(a_mm, start, stop, axis=1),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32 if quant else jnp.float32,
-            )
-            fields = jax.lax.psum(partial_f, graph_axis)
-            if quant:
-                fields = fields.astype(jnp.float32) * q_scale
-            fields = fields + jax.lax.slice_in_dim(hp, start, stop)
+                if quant:
+                    s_mm = s.astype(jnp.int8)
+                else:
+                    s_mm = s.astype(matmul_dtype) if matmul_dtype else s
+                partial_f = jax.lax.dot_general(
+                    s_mm,
+                    jax.lax.slice_in_dim(a_mm, start, stop, axis=1),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32 if quant else jnp.float32,
+                )
+            if partial_f is None:
+                # no shard has couplings into this color (static property of
+                # the plan — every shard agrees): fields are just h
+                fields = jnp.broadcast_to(
+                    jax.lax.slice_in_dim(hp, start, stop), (c_loc, width)
+                )
+            else:
+                fields = jax.lax.psum(partial_f, graph_axis)
+                if quant:
+                    fields = fields.astype(jnp.float32) * q_scale
+                fields = fields + jax.lax.slice_in_dim(hp, start, stop)
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)
             u = jax.vmap(
@@ -236,6 +300,7 @@ def gibbs_sweeps_graph_sharded(
             f"n_pad={plan.n_pad} does not tile mesh axis "
             f"{graph_axis!r}={mesh.shape.get(graph_axis)}"
         )
+    _check_packed_layout(coupling_p, plan, mesh, graph_axis)
     # chain rows that don't tile ``chain_axis`` are replicated across it —
     # graph partitioning (the point of this sampler) is preserved at the
     # cost of redundant row compute; the per-global-chain RNG keying makes
@@ -274,9 +339,47 @@ def gibbs_sweeps_graph_sharded(
 
 
 def _energy_body(hp, a_loc, s_loc, graph_axis, matmul_dtype):
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+        color_partial_fields,
+    )
+
     l_loc = s_loc.shape[-1]
     g_idx = jax.lax.axis_index(graph_axis)
     hp_loc = jax.lax.dynamic_slice_in_dim(hp, g_idx * l_loc, l_loc)
+    if isinstance(a_loc, ShardedBlockSparseCoupling):
+        # packed rows: build this shard's S@A contribution color block by
+        # color block (blocks tile [0, n_pad) contiguously), then the same
+        # reduce_scatter as the dense path.  int8 panels accumulate AND
+        # reduce in int32 (exact), one scale-out after the collective.
+        quant = a_loc.quantized
+        lead = s_loc.shape[:-1]
+        flat = s_loc.reshape(-1, l_loc)
+        bsc_parts = (
+            a_loc.panels, a_loc.offs, a_loc.slot_base, a_loc.kmax, a_loc.chunk,
+        )
+        parts = []
+        for c, (c0, _v, c1) in enumerate(a_loc.plan.blocks):
+            out = color_partial_fields(
+                bsc_parts, flat, c, c0, c1, quantized=quant,
+                matmul_dtype=None if quant else matmul_dtype,
+            )
+            if out is None:
+                out = jnp.zeros(
+                    (flat.shape[0], c1 - c0),
+                    jnp.int32 if quant else jnp.float32,
+                )
+            parts.append(out)
+        partial_sa = jnp.concatenate(parts, axis=-1)  # (N, n_pad)
+        sa_loc = jax.lax.psum_scatter(
+            partial_sa, graph_axis, scatter_dimension=1, tiled=True
+        )
+        if quant:
+            sa_loc = sa_loc.astype(jnp.float32) * a_loc.scale
+        e_part = flat @ hp_loc + 0.5 * jnp.sum(
+            flat.astype(jnp.float32) * sa_loc, axis=-1
+        )
+        return jax.lax.psum(e_part, graph_axis).reshape(lead)
     if isinstance(a_loc, QuantCoupling):
         # quantized-model energies, exactly: int32 partials are exact for
         # ±1 × int8, the reduce_scatter stays in int32, scale-out after
@@ -329,6 +432,7 @@ def ising_energies_graph_sharded(
             f"n_pad={spins_p.shape[-1]} does not tile mesh axis "
             f"{graph_axis!r}={mesh.shape[graph_axis]}"
         )
+    _check_packed_layout(coupling_p, None, mesh, graph_axis)
     row_axis = chain_axis if spins_p.shape[0] % mesh.shape[chain_axis] == 0 else None
     lead = (None,) * (spins_p.ndim - 2)
     fn = shard_map(

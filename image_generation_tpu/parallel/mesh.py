@@ -156,10 +156,41 @@ def shard_train_state(
         chains = jax.device_put(state.chains, NamedSharding(mesh, spec))
         cp = state.sampler_coupling
         row_sharded = NamedSharding(mesh, P("chain", None))
-        if hasattr(cp, "q"):  # QuantCoupling: int8 rows shard, scale replicates
+        from image_generation_tpu.ops.block_sparse_sharded import (
+            ShardedBlockSparseCoupling,
+        )
+
+        if isinstance(cp, ShardedBlockSparseCoupling):
+            if cp.n_shards != mesh.shape["chain"]:
+                # the packed layout bakes in its shard count — a different
+                # mesh needs a cache rebuild (fns.rebuild_sampler), which
+                # restore paths already do; placing the rows here would
+                # silently mis-slice panels
+                raise ValueError(
+                    f"packed sampler coupling was built for {cp.n_shards} "
+                    f"graph shards, mesh 'chain' axis has "
+                    f"{mesh.shape['chain']}: rebuild the sampler cache"
+                )
+            coupling = cp.replace(
+                panels=jax.device_put(cp.panels, row_sharded),
+                offs=jax.device_put(cp.offs, row_sharded),
+                scale=(
+                    None
+                    if cp.scale is None
+                    else jax.device_put(cp.scale, NamedSharding(mesh, P()))
+                ),
+            )
+        elif hasattr(cp, "q"):  # QuantCoupling: int8 rows shard, scale replicates
             coupling = cp._replace(
                 q=jax.device_put(cp.q, row_sharded),
                 scale=jax.device_put(cp.scale, NamedSharding(mesh, P())),
+            )
+        elif hasattr(cp, "panels"):
+            # a SINGLE-device BlockSparseCoupling's panel layout is global,
+            # not per-shard — it cannot be row-placed onto a graph mesh
+            raise ValueError(
+                "single-device packed coupling in graph-sharded state: "
+                "rebuild the sampler cache (fns.rebuild_sampler)"
             )
         else:
             coupling = jax.device_put(cp, row_sharded)

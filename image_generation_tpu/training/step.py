@@ -286,10 +286,40 @@ def make_train_fns(
     # read only those — FLOPs and coupling traffic drop by the measured
     # chunk occupancy (~3-4× on hardware graphs, whose BFS-ordered plans
     # concentrate each color's couplings into few chunks).  Not for the
-    # VMEM-resident kernel (dense-in-VMEM is already optimal) or the
-    # graph-sharded layout (rows are partitioned over the mesh instead).
-    block_sparse = not graph_sharded and cfg.resolved_block_sparse(plan)
-    if block_sparse and pallas_ok and pallas_vmem:
+    # VMEM-resident kernel (dense-in-VMEM is already optimal).  COMPOSES
+    # with the graph-sharded layout (ops/block_sparse_sharded.py): each
+    # shard packs its own row block on a shard-local chunk grid, cutting
+    # per-chip coupling memory and sweep FLOPs by the PADDED occupancy
+    # (panel counts pad to the max across shards — shard_map is one
+    # program), which therefore also gates 'auto' in that mode.
+    block_sparse = cfg.resolved_block_sparse(plan)
+    if block_sparse and graph_sharded:
+        from image_generation_tpu.ops.block_sparse_sharded import (
+            sharded_chunk_meta,
+            supports_sharded_block_sparse,
+        )
+
+        n_gs = mesh.shape["chain"]
+        if not supports_sharded_block_sparse(plan, n_gs, cfg.SWEEP_BS_CHUNK):
+            if cfg.SWEEP_BLOCK_SPARSE == "on":
+                # an explicit request that can't be honored must not
+                # silently sweep dense (mirrors the GRAPH_SHARDED="on"
+                # fail-loud contract)
+                raise ValueError(
+                    f"SWEEP_BLOCK_SPARSE='on' under GRAPH_SHARDED, but "
+                    f"chunk={cfg.SWEEP_BS_CHUNK} does not fit the {n_gs}"
+                    f"-way row shard of n_pad={plan.n_pad} "
+                    f"(= {plan.n_pad // n_gs} rows/shard). Lower "
+                    f"SWEEP_BS_CHUNK or the graph-axis size, or use "
+                    f"SWEEP_BLOCK_SPARSE='auto'."
+                )
+            block_sparse = False
+        elif cfg.SWEEP_BLOCK_SPARSE == "auto":
+            block_sparse = (
+                sharded_chunk_meta(plan, n_gs, cfg.SWEEP_BS_CHUNK).occupancy
+                <= 0.75
+            )
+    if block_sparse and not graph_sharded and pallas_ok and pallas_vmem:
         if cfg.SWEEP_BLOCK_SPARSE == "on":
             # honoring the explicit request: the packed form replaces the
             # dense cache, which the VMEM kernel needs — use the streaming
@@ -473,7 +503,7 @@ def make_train_fns(
             # negative-phase refresh (bf16 sampling is statistically
             # validated in tests/test_gibbs.py)
             coupling_p = coupling_p.astype(mm_dtype)
-        if block_sparse:
+        if block_sparse and not graph_sharded:
             # pack the occupied chunk panels (ops/block_sparse.py) — this
             # REPLACES the dense cache: sweeps (XLA + HBM Pallas) and ladder
             # energies all read the packed form, and the resident coupling
@@ -495,6 +525,18 @@ def make_train_fns(
             else:
                 coupling_p = jax.lax.with_sharding_constraint(
                     coupling_p, row_sharded
+                )
+            if block_sparse:
+                # then pack each shard's OWN rows (the dense row shards are
+                # only a packing-time transient): per-chip coupling memory
+                # and per-color sweep FLOPs drop by the padded occupancy on
+                # top of the mesh factor (ops/block_sparse_sharded.py)
+                from image_generation_tpu.ops.block_sparse_sharded import (
+                    pack_coupling_graph_sharded,
+                )
+
+                coupling_p = pack_coupling_graph_sharded(
+                    plan, coupling_p, mesh, "chain", cfg.SWEEP_BS_CHUNK
                 )
         return hp, coupling_p
 
