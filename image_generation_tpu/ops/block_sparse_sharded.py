@@ -94,17 +94,13 @@ class ShardedChunkMeta(NamedTuple):
 
 
 def _local_starts(l_loc: int, chunk: int) -> Tuple[int, ...]:
-    """Shard-local chunk grid over [0, l_loc) — same clamping rule as
-    block_sparse.chunk_starts: the final chunk starts at l_loc − chunk when
-    chunk does not divide l_loc (its overlapped leading rows are zeroed at
+    """Shard-local chunk grid over [0, l_loc): block_sparse.chunk_starts on
+    the shard's own row range (the final chunk clamps to l_loc − chunk when
+    chunk does not divide l_loc; its overlapped leading rows are zeroed at
     pack time)."""
-    if l_loc <= chunk:
-        return (0,)
-    n_full = l_loc // chunk
-    starts = [k * chunk for k in range(n_full)]
-    if n_full * chunk < l_loc:
-        starts.append(l_loc - chunk)
-    return tuple(starts)
+    from image_generation_tpu.ops.block_sparse import chunk_starts
+
+    return chunk_starts(l_loc, chunk)
 
 
 @functools.lru_cache(maxsize=None)

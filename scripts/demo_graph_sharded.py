@@ -128,6 +128,65 @@ def main():
           f"(incl. compile); energies finite, spins sharded "
           f"{s.sharding.spec}", flush=True)
 
+    # ---- block-sparse composition (ops/block_sparse_sharded.py): each
+    # shard packs the occupied chunks of its OWN rows; the dense row shards
+    # become a packing-time transient and per-chip memory drops further by
+    # the padded occupancy — then again 4× under int8 quantization
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        pack_coupling_graph_sharded,
+        sharded_chunk_meta,
+    )
+    from image_generation_tpu.ops.quant import quantize_coupling
+
+    chunk = 128
+    meta = sharded_chunk_meta(plan, 8, chunk)
+    t0 = time.perf_counter()
+    bsc = jax.jit(
+        lambda c: pack_coupling_graph_sharded(plan, c, mesh, chunk=chunk)
+    )(coupling)
+    jax.block_until_ready(bsc.panels)
+    pack_s = time.perf_counter() - t0
+    packed_shard_bytes = bsc.panels.addressable_shards[0].data.nbytes
+    print(f"packed (chunk={chunk}) in {pack_s:.1f}s: padded occupancy "
+          f"{meta.occupancy:.2f} → {packed_shard_bytes / 1e9:.3f} GB/shard "
+          f"({shard_bytes / packed_shard_bytes:.2f}× below dense shards)",
+          flush=True)
+    t0 = time.perf_counter()
+    s_bs = gibbs_sweeps_graph_sharded(
+        # same matmul dtype as the dense baseline sweep above, so the two
+        # recorded timings are like-for-like
+        jax.random.PRNGKey(2), hp, bsc, plan, s0, 2, mesh,
+        matmul_dtype=jnp.bfloat16,
+    )
+    jax.block_until_ready(s_bs)
+    bs_sweep_s = time.perf_counter() - t0
+    e_bs = ising_energies_graph_sharded(hp, bsc, s_bs, mesh)
+    assert bool(jnp.all(jnp.isfinite(e_bs)))
+    print(f"2 packed sweeps × {n_chains} chains: {bs_sweep_s:.1f}s "
+          f"(incl. compile); energies finite", flush=True)
+
+    t0 = time.perf_counter()
+    bsc_i8 = jax.jit(
+        lambda c: pack_coupling_graph_sharded(
+            plan, quantize_coupling(c), mesh, chunk=chunk
+        )
+    )(coupling)
+    jax.block_until_ready(bsc_i8.panels)
+    i8_shard_bytes = bsc_i8.panels.addressable_shards[0].data.nbytes
+    assert bsc_i8.quantized and bsc_i8.panels.dtype == jnp.int8
+    e_i8 = ising_energies_graph_sharded(
+        hp, bsc_i8,
+        gibbs_sweeps_graph_sharded(
+            jax.random.PRNGKey(3), hp, bsc_i8, plan, s0, 1, mesh
+        ),
+        mesh,
+    )
+    assert bool(jnp.all(jnp.isfinite(e_i8)))
+    print(f"packed int8 in {time.perf_counter() - t0:.1f}s: "
+          f"{i8_shard_bytes / 1e9:.3f} GB/shard "
+          f"({shard_bytes / i8_shard_bytes:.1f}× below dense f32 shards); "
+          f"sweeps + energies finite", flush=True)
+
     out = {
         "fabric": "pegasus_32_ideal",
         "n_spins": graph.n,
@@ -140,6 +199,16 @@ def main():
         "auto_threshold_triggers": bool(auto_triggers),
         "build_seconds": round(build_s, 1),
         "two_sweeps_seconds_incl_compile": round(sweep_s, 1),
+        "block_sparse": {
+            "chunk": chunk,
+            "padded_occupancy": round(float(meta.occupancy), 4),
+            "per_shard_gb_packed_f32": round(packed_shard_bytes / 1e9, 4),
+            "per_shard_gb_packed_int8": round(i8_shard_bytes / 1e9, 4),
+            "vs_dense_shard": round(shard_bytes / packed_shard_bytes, 2),
+            "vs_dense_shard_int8": round(shard_bytes / i8_shard_bytes, 2),
+            "pack_seconds": round(pack_s, 1),
+            "two_sweeps_seconds_incl_compile": round(bs_sweep_s, 1),
+        },
         "note": (
             "8 virtual CPU devices (1 host core, shared RAM): layouts/"
             "collectives identical to a v5e-8; wall time not indicative"
