@@ -12,7 +12,9 @@ OS processes, each holding 4 virtual CPU devices
 XLA CPU's gloo backend), builds the 8-device global (data × chain) mesh, and
 runs init → shard_train_state → one fused training step with every
 cross-process collective the real step uses (batch-mean psum, gradient
-all-reduce, chain sharding).
+all-reduce, chain sharding) — then the same step with the graph-sharded +
+block-sparse-packed sampler, whose coupling rows span both processes (the
+beyond-HBM pod shape; per-color field psums cross processes).
 
 Run:  python scripts/dryrun_multihost.py            (parent: spawns workers)
       python scripts/dryrun_multihost.py --worker I (one process; internal)
@@ -96,9 +98,29 @@ def worker(process_id: int, coordinator: str) -> None:
     mse = float(metrics.mse)  # fetch = hard sync incl. cross-process psums
     assert np.isfinite(mse), f"multi-host step produced mse={mse}"
     chains_spec = new_state.chains.sharding.spec
+
+    # beyond-HBM pod shape: graph-sharded + block-sparse-packed coupling
+    # rows span BOTH processes — no single host (let alone chip) ever holds
+    # the whole matrix, and the per-color field psum crosses processes
+    gs_cfg = cfg.replace(
+        GRAPH_SHARDED="on", SWEEP_BLOCK_SPARSE="on", SWEEP_BS_CHUNK=64
+    )
+    fns_gs = make_train_fns(gs_cfg, graph, total_steps=4, mesh=mesh)
+    assert fns_gs.sampler_impl == "xla_graph_sharded+bs"
+    state_gs = shard_train_state(
+        fns_gs.init(jax.random.PRNGKey(1), images[:1]), mesh,
+        graph_sharded=True,
+    )
+    _, m_gs = fns_gs.step(state_gs, batch, jnp.asarray(0))
+    mse_gs = float(m_gs.mse)
+    assert np.isfinite(mse_gs), f"graph-sharded multihost mse={mse_gs}"
+    # recon loss is sampler-independent → must match the DP step's
+    np.testing.assert_allclose(mse_gs, mse, rtol=1e-4)
+
     print(
         f"[proc {process_id}] multihost step ok: mse={mse:.4f} "
-        f"devices={n_global} local={LOCAL_DEVICES} chains_spec={chains_spec}",
+        f"devices={n_global} local={LOCAL_DEVICES} chains_spec={chains_spec} "
+        f"graph_sharded_bs_mse={mse_gs:.4f}",
         flush=True,
     )
     if process_id == 0:
@@ -109,6 +131,8 @@ def worker(process_id: int, coordinator: str) -> None:
             "mesh": {k: int(v) for k, v in mesh.shape.items()},
             "step_mse": mse,
             "chains_sharding": str(chains_spec),
+            "graph_sharded_block_sparse_mse": mse_gs,
+            "graph_sharded_sampler_impl": fns_gs.sampler_impl,
             "jax": jax.__version__,
         }
         (REPO / "runs").mkdir(exist_ok=True)
