@@ -347,41 +347,63 @@ def cmd_tune_pt(args):
     trainer = _build_trainer(args, for_load=True)
     model_dir = _model_path(args)
     trainer.load(model_dir)
-    if trainer.fns is not None and trainer.fns.graph_sharded:
-        raise SystemExit(
-            "tune-pt builds a dense replicated coupling; not supported for "
-            "graph-sharded (beyond-HBM) models"
-        )
     cfg = trainer.config
-    h, q = scaled_ising(
-        trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
-    )
-    hp, cp = permuted_model(trainer.plan, h, q)
-    # tune the SAME model training samples (build_sampler_model's policy,
-    # via the shared TrainingConfig helpers): int8 → the QuantCoupling the
-    # quantized sampler draws from; bf16-at-scale otherwise — which also
-    # keeps the measurer's closed-over coupling under the relay's ~100 MB
-    # remote-compile constant limit
     mm = cfg.resolved_sampler_matmul_dtype(trainer.plan.n_pad)
-    if cfg.SAMPLER_MATMUL_DTYPE == "int8":
-        from image_generation_tpu.ops.quant import quantize_coupling
+    layout_kw = {}
+    if trainer.fns is not None and trainer.fns.graph_sharded:
+        # beyond-HBM model: measure through the graph-sharded layout on the
+        # trainer's mesh, using the CACHED sampler model (row-sharded —
+        # packed/quantized per config — never materialized whole), i.e.
+        # exactly the ensemble training sweeps
+        from image_generation_tpu.ops.gibbs_graph_sharded import (
+            gibbs_sweeps_graph_sharded,
+            ising_energies_graph_sharded,
+        )
 
-        cp = quantize_coupling(cp)
-    elif mm is not None:
-        cp = cp.astype(mm)
-    if cfg.resolved_block_sparse(trainer.plan):
-        # measure the packed model training samples (same single-source
-        # policy as make_train_fns); the packed panels are also ~4× smaller
-        # than dense — further relief for the relay's ~100 MB remote-compile
-        # constant limit the measurer's closure is subject to
-        from image_generation_tpu.ops.block_sparse import pack_coupling
+        mesh = trainer.mesh
+        hp = trainer.state.sampler_h
+        cp = trainer.state.sampler_coupling
 
-        cp = pack_coupling(trainer.plan, cp, cfg.SWEEP_BS_CHUNK)
+        def _sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0, track_delta_e=False):
+            return gibbs_sweeps_graph_sharded(
+                k, h_, c_, p_, s_, n_, mesh, beta, matmul_dtype=mm,
+                track_delta_e=track_delta_e,
+            )
+
+        def _energies_fn(h_, c_, s_):
+            return ising_energies_graph_sharded(h_, c_, s_, mesh, matmul_dtype=mm)
+
+        layout_kw = dict(sweeps_fn=_sweeps_fn, energies_fn=_energies_fn)
+    else:
+        h, q = scaled_ising(
+            trainer.state.grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE
+        )
+        hp, cp = permuted_model(trainer.plan, h, q)
+        # tune the SAME model training samples (build_sampler_model's
+        # policy, via the shared TrainingConfig helpers): int8 → the
+        # QuantCoupling the quantized sampler draws from; bf16-at-scale
+        # otherwise — which also keeps the measurer's closed-over coupling
+        # under the relay's ~100 MB remote-compile constant limit
+        if cfg.SAMPLER_MATMUL_DTYPE == "int8":
+            from image_generation_tpu.ops.quant import quantize_coupling
+
+            cp = quantize_coupling(cp)
+        elif mm is not None:
+            cp = cp.astype(mm)
+        if cfg.resolved_block_sparse(trainer.plan):
+            # measure the packed model training samples (same single-source
+            # policy as make_train_fns); the packed panels are also ~4×
+            # smaller than dense — further relief for the relay's ~100 MB
+            # remote-compile constant limit the measurer's closure is
+            # subject to
+            from image_generation_tpu.ops.block_sparse import pack_coupling
+
+            cp = pack_coupling(trainer.plan, cp, cfg.SWEEP_BS_CHUNK)
     betas0 = cfg.initial_pt_betas()
     tuned, diag0, diag1 = tune_pt_betas(
         jax.random.PRNGKey(args.seed), hp, cp, trainer.plan, betas0,
         n_iters=args.iters, n_chains=args.chains, matmul_dtype=mm,
-        verbose=True,
+        verbose=True, **layout_kw,
     )
     tuned[-1] = 1.0  # PT_BETAS contract: ladder ends exactly at the target
     out_path = model_dir / "pt_betas.json"

@@ -69,6 +69,8 @@ def make_acceptance_measurer(
     sweeps_per_round: int = 2,
     burn_rounds: int = 8,
     matmul_dtype=None,
+    sweeps_fn=None,
+    energies_fn=None,
 ):
     """Build the jitted (key, flat_spins, betas) → (spins, accept) kernel.
 
@@ -84,19 +86,28 @@ def make_acceptance_measurer(
     remote-TPU relay where each compile costs 60-150 s at scale.  Reused
     across ``swap_acceptance`` calls via the ``measurer=`` parameter
     (``tune_pt_betas`` does this automatically).
+
+    ``sweeps_fn``/``energies_fn``: optional layout overrides with the
+    ``pt_round`` contracts — beyond-HBM models pass the graph-sharded
+    sweep and reduce_scatter energies (ops/gibbs_graph_sharded.py) so the
+    tuner never materializes the coupling whole, exactly like training.
     """
 
     @jax.jit
     def rounds(key, flat, b):
         """burn + measure: returns final state and mean pair acceptance."""
         ladder0 = flat.reshape(t_dim, n_chains, flat.shape[-1])
-        e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
+        if energies_fn is not None:
+            e0 = energies_fn(hp, coupling_p, ladder0)
+        else:
+            e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
 
         def one(carry, k):
             s, e, acc, measuring = carry
             s, e, pair_acc = pt_round(
                 k, hp, coupling_p, plan, s, b, sweeps_per_round,
                 matmul_dtype=matmul_dtype, energies=e, return_accept=True,
+                sweeps_fn=sweeps_fn, energies_fn=energies_fn,
             )
             return (s, e, acc + measuring * pair_acc, measuring), None
 
@@ -126,6 +137,8 @@ def swap_acceptance(
     burn_rounds: int = 8,
     matmul_dtype=None,
     measurer=None,
+    sweeps_fn=None,
+    energies_fn=None,
 ) -> PTLadderDiagnostics:
     """Estimate per-pair swap acceptance E[min(1, e^{Δβ·ΔE})] at ``betas``.
 
@@ -134,6 +147,8 @@ def swap_acceptance(
     lower variance than counting realized swaps).  ``measurer``: a
     ``make_acceptance_measurer`` kernel to reuse across calls (must have
     been built with the same model and T/chain/round parameters).
+    ``sweeps_fn``/``energies_fn`` forward to ``make_acceptance_measurer``
+    (graph-sharded layouts).
     """
     betas = np.asarray(betas, np.float64)
     t_dim = len(betas)
@@ -141,6 +156,7 @@ def swap_acceptance(
         measurer = make_acceptance_measurer(
             hp, coupling_p, plan, t_dim, n_chains, n_rounds,
             sweeps_per_round, burn_rounds, matmul_dtype,
+            sweeps_fn=sweeps_fn, energies_fn=energies_fn,
         )
     k_init, k_run = jax.random.split(key)
     flat0 = random_spins(k_init, plan, t_dim * n_chains)
@@ -263,17 +279,23 @@ def tune_pt_betas(
     sweeps_per_round: int = 2,
     matmul_dtype=None,
     verbose: bool = False,
+    sweeps_fn=None,
+    energies_fn=None,
 ) -> tuple[np.ndarray, PTLadderDiagnostics, PTLadderDiagnostics]:
     """Iteratively equalize the PT ladder's swap acceptance.
 
     Returns ``(betas_tuned, diag_before, diag_after)`` — plug the tuned
-    ladder into ``TrainingConfig.PT_BETAS``.
+    ladder into ``TrainingConfig.PT_BETAS``.  ``sweeps_fn``/``energies_fn``
+    route the measurement through an alternative sampler layout (the
+    graph-sharded beyond-HBM path) — the one compiled measurer carries
+    them through every iteration.
     """
     betas = np.asarray(betas0, np.float64)
     # one compiled measurement kernel for every iteration (betas traced)
     measurer = make_acceptance_measurer(
         hp, coupling_p, plan, len(betas), n_chains, n_rounds,
         sweeps_per_round, matmul_dtype=matmul_dtype,
+        sweeps_fn=sweeps_fn, energies_fn=energies_fn,
     )
     diag0 = None
     diag = None

@@ -80,6 +80,46 @@ def test_acceptance_measurer_block_sparse_matches_dense(glass):
     np.testing.assert_allclose(dense.accept, packed.accept, rtol=1e-6)
 
 
+def test_acceptance_measurer_graph_sharded(glass):
+    """Beyond-HBM tuning: the measurer routed through the graph-sharded
+    sweep + reduce_scatter energies (the ``tune-pt`` path for
+    GRAPH_SHARDED models) measures the same ladder physics as the dense
+    layout — statistically (the sharded sweep is a different but equally
+    valid Gibbs chain: distinct RNG stream) and exactly on a degenerate
+    equal-β ladder."""
+    from image_generation_tpu.ops.gibbs_graph_sharded import (
+        gibbs_sweeps_graph_sharded,
+        ising_energies_graph_sharded,
+    )
+    from image_generation_tpu.parallel.mesh import create_mesh
+
+    plan, hp, cp = glass
+    mesh = create_mesh(8)  # (data=4, chain=2)
+
+    def sweeps_fn(k, h_, c_, p_, s_, n_, beta=1.0, track_delta_e=False):
+        return gibbs_sweeps_graph_sharded(
+            k, h_, c_, p_, s_, n_, mesh, beta, track_delta_e=track_delta_e
+        )
+
+    def energies_fn(h_, c_, s_):
+        return ising_energies_graph_sharded(h_, c_, s_, mesh)
+
+    betas = np.geomspace(0.15, 1.0, 5)
+    dense = swap_acceptance(
+        jax.random.PRNGKey(7), hp, cp, plan, betas, n_chains=256, n_rounds=12
+    )
+    sharded = swap_acceptance(
+        jax.random.PRNGKey(7), hp, cp, plan, betas, n_chains=256, n_rounds=12,
+        sweeps_fn=sweeps_fn, energies_fn=energies_fn,
+    )
+    np.testing.assert_allclose(sharded.accept, dense.accept, atol=0.06)
+    same = swap_acceptance(
+        jax.random.PRNGKey(8), hp, cp, plan, np.array([1.0, 1.0]),
+        n_chains=64, n_rounds=4, sweeps_fn=sweeps_fn, energies_fn=energies_fn,
+    )
+    np.testing.assert_allclose(same.accept, 1.0, atol=1e-6)
+
+
 def test_resolved_block_sparse_single_source(glass):
     """The config-level policy the CLI consults must agree with what
     make_train_fns resolves (before its impl-specific vetoes)."""
