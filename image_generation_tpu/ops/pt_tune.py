@@ -177,6 +177,8 @@ def round_trip_count(
     n_rounds: int,
     sweeps_per_round: int = 2,
     matmul_dtype=None,
+    sweeps_fn=None,
+    energies_fn=None,
 ):
     """Replica-flow diagnostics: completed hot→cold→hot round trips (the
     gold standard — a ladder with a dead swap pair scores ~0 regardless of
@@ -202,7 +204,10 @@ def round_trip_count(
 
     @jax.jit
     def run(key, ladder0, bs):
-        e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
+        if energies_fn is not None:
+            e0 = energies_fn(hp, coupling_p, ladder0)
+        else:
+            e0 = ising_energies(hp, coupling_p, ladder0, matmul_dtype)
         rows = jnp.arange(t_dim)[:, None] * jnp.ones((1, n_chains), jnp.int32)
 
         def body(carry, k):
@@ -210,6 +215,7 @@ def round_trip_count(
             s, e, aux = pt_round(
                 k, hp, coupling_p, plan, s, bs, sweeps_per_round,
                 matmul_dtype=matmul_dtype, energies=e, aux=aux,
+                sweeps_fn=sweeps_fn, energies_fn=energies_fn,
             )
             direc = aux["dir"]
             direc = jnp.where((rows == t_dim - 1) & (direc == 1), -1, direc)

@@ -118,6 +118,16 @@ def test_acceptance_measurer_graph_sharded(glass):
         n_chains=64, n_rounds=4, sweeps_fn=sweeps_fn, energies_fn=energies_fn,
     )
     np.testing.assert_allclose(same.accept, 1.0, atol=1e-6)
+    # flow diagnostics ride the same overrides: free shuttling across the
+    # degenerate ladder through the sharded layout
+    from image_generation_tpu.ops.pt_tune import round_trip_count
+
+    trips, cover = round_trip_count(
+        jax.random.PRNGKey(9), hp, cp, plan, np.array([1.0, 1.0]),
+        n_chains=16, n_rounds=30, sweeps_fn=sweeps_fn,
+        energies_fn=energies_fn,
+    )
+    assert cover == 1.0 and trips > 50
 
 
 def test_resolved_block_sparse_single_source(glass):
