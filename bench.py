@@ -199,6 +199,14 @@ def main():
         "config's 127M-param dense layer",
     )
     ap.add_argument(
+        "--adam-factored-nu",
+        choices=("on", "off"),
+        default=None,
+        help="factor the 127M dense layer's Adam second moment into row/col "
+        "g² means (ADAM_FACTORED_NU; Adafactor rank-1 estimator) — removes "
+        "its nu HBM traffic entirely; composes with --adam-moment-dtype",
+    )
+    ap.add_argument(
         "--sampler-matmul-dtype",
         choices=("auto", "float32", "bfloat16", "int8"),
         default=None,
@@ -272,6 +280,8 @@ def main():
 
     if args.adam_moment_dtype:
         cfg = cfg.replace(ADAM_MOMENT_DTYPE=args.adam_moment_dtype)
+    if args.adam_factored_nu:
+        cfg = cfg.replace(ADAM_FACTORED_NU=args.adam_factored_nu)
     if args.sampler_matmul_dtype:
         cfg = cfg.replace(SAMPLER_MATMUL_DTYPE=args.sampler_matmul_dtype)
     if args.sweep_block_sparse:

@@ -53,6 +53,8 @@ def _config_overrides(args):
         overrides["GRAPH_SHARDED"] = args.graph_sharded
     if getattr(args, "adam_moment_dtype", None) is not None:
         overrides["ADAM_MOMENT_DTYPE"] = args.adam_moment_dtype
+    if getattr(args, "adam_factored_nu", None) is not None:
+        overrides["ADAM_FACTORED_NU"] = args.adam_factored_nu
     if getattr(args, "sampler_matmul_dtype", None) is not None:
         overrides["SAMPLER_MATMUL_DTYPE"] = args.sampler_matmul_dtype
     if getattr(args, "sweep_block_sparse", None) is not None:
@@ -467,6 +469,13 @@ def build_parser():
         help="storage dtype of the DVAE Adam moments (bfloat16 halves "
         "optimizer-state HBM traffic — the scaled config's measured update "
         "floor; arithmetic stays f32; default float32)",
+    )
+    common.add_argument(
+        "--adam-factored-nu", default=None, choices=["on", "off"],
+        help="store the second moment of outsized 2-D DVAE params (the "
+        "scaled config's 127M dense) factored as row/col g² means "
+        "(Adafactor rank-1 estimator) — removes that layer's nu HBM "
+        "traffic/footprint entirely; composes with --adam-moment-dtype",
     )
     common.add_argument(
         "--sampler-matmul-dtype", default=None,

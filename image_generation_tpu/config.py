@@ -79,6 +79,14 @@ class TrainingConfig:
     # measured bottleneck of the scaled 127M-dense config's update pass
     # (runs/scaled_attribution_dvae.json); arithmetic stays f32 either way
     # (training/optim.py).  The GRBM's Adam always stays f32 (tiny).
+    ADAM_FACTORED_NU: str = "off"  # "on" | "off" — store the second moment
+    # of outsized 2-D DVAE params (≥ 4M elements — in practice the scaled
+    # config's 127M-param dense layer) FACTORED as its row/col g² means
+    # (the Adafactor rank-1 estimator, training/optim.py FactoredNu): nu's
+    # HBM traffic and footprint for that layer drop from ~1 GB/step (f32)
+    # to ~44 KB.  Composes with ADAM_MOMENT_DTYPE (which then applies to
+    # mu and any remaining dense nu).  Opt-in; the default keeps exact
+    # torch-Adam semantics.
     USE_PALLAS: str = "auto"  # "auto" | "on" | "off" — fused Pallas Gibbs
     # kernel for the training-step negative phase. auto = on for TPU
     # backends when the problem fits VMEM. On a multi-chip mesh the kernel
@@ -134,6 +142,14 @@ class TrainingConfig:
                 raise ValueError(
                     f"{field} must be one of 'auto'/'on'/'off', got {v!r}"
                 )
+        v = self.ADAM_FACTORED_NU
+        if isinstance(v, bool):  # YAML 1.1 'on'/'off' parse as booleans
+            v = "on" if v else "off"
+            object.__setattr__(self, "ADAM_FACTORED_NU", v)
+        if v not in ("on", "off"):
+            raise ValueError(
+                f"ADAM_FACTORED_NU must be 'on' or 'off', got {v!r}"
+            )
         if self.ADAM_MOMENT_DTYPE not in ("float32", "bfloat16"):
             raise ValueError(
                 "ADAM_MOMENT_DTYPE must be 'float32' or 'bfloat16', got "

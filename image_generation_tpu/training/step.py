@@ -68,6 +68,13 @@ from image_generation_tpu.training.schedules import geomspace_lr
 
 __all__ = ["TrainState", "TrainStepFns", "make_train_fns"]
 
+# ADAM_FACTORED_NU="on" factors the second moment of 2-D DVAE params with
+# at least this many elements (training/optim.py FactoredNu).  4M elements
+# catches only the scaled config's 127M dense layer — at the flagship 256
+# latents every layer keeps exact dense Adam.  Module-level so tests can
+# lower it.
+_FACTORED_NU_MIN = 1 << 22
+
 
 @struct.dataclass
 class TrainState:
@@ -188,14 +195,23 @@ def make_train_fns(
 
     # torch.optim.Adam(lr, weight_decay) ≡ L2-into-grad then Adam moments;
     # LR applied explicitly per step so the schedule indexing is exact.
-    if cfg.ADAM_MOMENT_DTYPE == "float32":
+    _factored_min = _FACTORED_NU_MIN if cfg.ADAM_FACTORED_NU == "on" else None
+    if cfg.ADAM_MOMENT_DTYPE == "float32" and _factored_min is None:
         _adam = optax.scale_by_adam()  # stock path: bit-identical to r1/r2
     else:
-        # bf16-stored moments (f32 arithmetic) — halves the optimizer-state
-        # HBM traffic that floors the scaled config's update pass
+        # bf16-stored moments and/or factored nu (f32 arithmetic) — shrink
+        # the optimizer-state HBM traffic that floors the scaled config's
+        # update pass (training/optim.py)
         from image_generation_tpu.training.optim import scale_by_adam_moments
 
-        _adam = scale_by_adam_moments(moment_dtype=jnp.dtype(cfg.ADAM_MOMENT_DTYPE))
+        _adam = scale_by_adam_moments(
+            moment_dtype=(
+                None
+                if cfg.ADAM_MOMENT_DTYPE == "float32"
+                else jnp.dtype(cfg.ADAM_MOMENT_DTYPE)
+            ),
+            factored_nu_min_size=_factored_min,
+        )
     dvae_tx = optax.chain(
         optax.add_decayed_weights(cfg.AUTOENCODER_WEIGHT_DECAY), _adam
     )

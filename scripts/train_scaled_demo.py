@@ -44,6 +44,13 @@ def main(argv=None):
         "and compare the loss curves (VERDICT r2 item 3 convergence check)",
     )
     ap.add_argument(
+        "--adam-factored-nu",
+        choices=("on", "off"),
+        default="off",
+        help="ADAM_FACTORED_NU: rank-1 factored second moment for the 127M "
+        "dense (convergence check vs the dense-nu trajectory)",
+    )
+    ap.add_argument(
         "--pt-adapt", choices=("off", "epoch"), default="off",
         help="adaptive tempering: re-space the live ladder every epoch from "
         "the step's swap-acceptance metric; the per-epoch stats then record "
@@ -74,6 +81,7 @@ def main(argv=None):
         GIBBS_SWEEPS=4,
         GIBBS_BURN_IN=4,
         ADAM_MOMENT_DTYPE=args.adam_moment_dtype,
+        ADAM_FACTORED_NU=args.adam_factored_nu,
         PT_ADAPT=args.pt_adapt,
     )
     if args.tiny:
@@ -108,6 +116,7 @@ def main(argv=None):
             "replicas": cfg.N_REPLICAS, "sampler": cfg.SAMPLER,
             "pt_betas": cfg.PT_NUM_BETAS, "reads": cfg.NUM_READS,
             "adam_moment_dtype": cfg.ADAM_MOMENT_DTYPE,
+            "adam_factored_nu": cfg.ADAM_FACTORED_NU,
             "pt_adapt": cfg.PT_ADAPT,
             "dataset": trainer.data_source.origin,
         },
