@@ -415,12 +415,19 @@ class Trainer:
     # generation / evaluation (reference: model_wrapper.py:355-491)
     # ------------------------------------------------------------------
     def sample_spins(self, num_reads: Optional[int] = None, n_sweeps: Optional[int] = None):
+        """Raw spin sampling from the current GRBM (the ``as_tensor=True``
+        face of grbm.sample, src/model_wrapper.py:369-376): returns a
+        (num_reads, n) ±1 array in original coordinates.  Always samples
+        with the LIVE PT ladder (``state.pt_betas`` — PT_ADAPT may have
+        moved it off the config's geomspace).  ``sample_sampleset`` wraps
+        this with energies/SampleSet for the backend-protocol surface."""
         cfg = self.config
         return self.fns.sample(
             self._next_key(),
             self.state.grbm_params,
             num_reads or cfg.NUM_READS,
             n_sweeps or (cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS),
+            betas=self.state.pt_betas if cfg.SAMPLER == "pt" else None,
         )
 
     def sampler_backend(self):
@@ -488,12 +495,8 @@ class Trainer:
             from image_generation_tpu.utils.sampleset import SampleSet
 
             n = num_reads or cfg.NUM_READS
-            spins = self.fns.sample(
-                self._next_key(), self.state.grbm_params, n,
-                cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS,
-                # sample with the LIVE ladder (PT_ADAPT may have moved it)
-                betas=self.state.pt_betas if cfg.SAMPLER == "pt" else None,
-            )
+            # sample_spins carries the LIVE ladder (PT_ADAPT may have moved it)
+            spins = self.sample_spins(n)
             e = energy(GRBMParams(linear=h, quadratic=q), self.graph, spins)
             return SampleSet(
                 spins=np.asarray(spins), energies=np.asarray(e),

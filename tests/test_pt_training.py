@@ -135,6 +135,29 @@ def test_pt_adapt_moves_the_ladder_and_resumes(tmp_path):
     assert np.all(np.diff(np.asarray(t2.state.pt_betas)) > 0)
 
 
+def test_sample_spins_uses_live_ladder():
+    """Trainer.sample_spins (the raw face of grbm.sample) must pass the
+    LIVE ``state.pt_betas`` — not the config's geomspace — once PT_ADAPT
+    has re-spaced the ladder."""
+    t = Trainer(config=pt_config(PT_ADAPT="epoch", PT_NUM_BETAS=6))
+    t.train_init(n_epochs=1)
+    t.train_epoch(0)
+    live = np.asarray(t.state.pt_betas)
+    assert not np.allclose(live, np.geomspace(0.3, 1.0, 6))
+
+    seen = {}
+    real = t.fns.sample
+
+    def spy(key, params, num_reads, n_sweeps, betas=None):
+        seen["betas"] = betas
+        return real(key, params, num_reads, n_sweeps, betas=betas)
+
+    t.fns.sample = spy
+    spins = t.sample_spins(8)
+    assert spins.shape == (8, t.config.N_LATENTS)
+    np.testing.assert_array_equal(np.asarray(seen["betas"]), live)
+
+
 def test_non_pt_metrics_have_empty_accept():
     """Gibbs mode: pt_accept/pt_betas are zero-width placeholders and the
     epoch stats carry no ladder keys."""
