@@ -1,17 +1,25 @@
-"""Compare scaled-config convergence: f32 vs bf16 Adam-moment storage.
+"""Compare scaled-config convergence: baseline vs an Adam-moment storage knob.
 
-VERDICT r2 item 3: the bf16 option (ADAM_MOMENT_DTYPE) halves the measured
-3.5 GB/step optimizer HBM traffic of the 127M-param dense layer; this tool
-checks it does not change the training trajectory materially.  Feed it two
-``scripts/train_scaled_demo.py`` outputs produced by the SAME code at the
-two dtypes and it writes a side-by-side artifact with a verdict.
+VERDICT r2 item 3 / r3 item 1: the moment-storage opt-ins
+(ADAM_MOMENT_DTYPE=bfloat16 halves the measured 3.5 GB/step optimizer HBM
+traffic of the 127M-param dense layer; ADAM_FACTORED_NU replaces its dense
+second moment with the Adafactor rank-1 row/col estimator) must not change
+the training trajectory materially.  Feed it two
+``scripts/train_scaled_demo.py`` outputs produced by the SAME code — the
+baseline and the variant — and it writes a side-by-side artifact with a
+verdict.
 
 Usage:  python scripts/compare_adam_moments.py \
             runs/scaled_train_demo_f32.json runs/scaled_train_demo_bf16.json \
+            [--knob adam_moment_dtype:float32,bfloat16] \
             [--out runs/adam_bf16_convergence.json] [--tol 0.05]
 
+``--knob key:baseline_value,variant_value`` names the config entry the two
+runs must differ in (default: the bf16 moment dtype); for the factored
+second moment use ``--knob adam_factored_nu:off,on``.
+
 Verdict: PASS when every epoch's MSE differs by < tol relative (and both
-runs improve first→last); the default stays f32 unless this passes.
+runs improve first→last); the default stays off/f32 unless this passes.
 """
 
 from __future__ import annotations
@@ -24,19 +32,25 @@ from pathlib import Path
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("f32_json")
-    ap.add_argument("bf16_json")
+    ap.add_argument("baseline_json")
+    ap.add_argument("variant_json")
+    ap.add_argument("--knob", default="adam_moment_dtype:float32,bfloat16",
+                    help="config key + expected baseline,variant values")
     ap.add_argument("--out", default="runs/adam_bf16_convergence.json")
     ap.add_argument("--tol", type=float, default=0.05,
                     help="max per-epoch relative MSE divergence for PASS")
     args = ap.parse_args(argv)
 
-    a = json.loads(Path(args.f32_json).read_text())
-    b = json.loads(Path(args.bf16_json).read_text())
-    for run, want in ((a, "float32"), (b, "bfloat16")):
-        got = run["config"].get("adam_moment_dtype")
+    key, _, vals = args.knob.partition(":")
+    base_val, _, var_val = vals.partition(",")
+    a = json.loads(Path(args.baseline_json).read_text())
+    b = json.loads(Path(args.variant_json).read_text())
+    for run, want in ((a, base_val), (b, var_val)):
+        # a baseline produced before the knob existed omits the key — that
+        # IS the baseline value (the demo records every knob it knows)
+        got = run["config"].get(key, base_val)
         if got != want:
-            sys.exit(f"expected a {want} run, got adam_moment_dtype={got!r}")
+            sys.exit(f"expected a {key}={want} run, got {key}={got!r}")
 
     rows = []
     worst = 0.0
@@ -45,8 +59,8 @@ def main(argv=None):
         worst = max(worst, rel)
         rows.append({
             "epoch": ea["epoch"],
-            "mse_f32": ea["mse"],
-            "mse_bf16": eb["mse"],
+            f"mse_{key}_{base_val}": ea["mse"],
+            f"mse_{key}_{var_val}": eb["mse"],
             "rel_diff": round(rel, 5),
         })
 
@@ -58,14 +72,15 @@ def main(argv=None):
     )
     report = {
         "config": a["config"],
+        "knob": {"key": key, "baseline": base_val, "variant": var_val},
         "epochs_compared": len(rows),
         "per_epoch": rows,
         "max_rel_mse_diff": round(worst, 5),
         "tol": args.tol,
         "both_improved": bool(a["mse_improved"] and b["mse_improved"]),
         "verdict": "PASS" if ok else "FAIL",
-        "note": "bf16 Adam moments stay opt-in (ADAM_MOMENT_DTYPE) either "
-        "way; PASS means the trajectory is interchangeable at this tol.",
+        "note": f"{key}={var_val} stays opt-in either way; PASS means the "
+        "trajectory is interchangeable with the baseline at this tol.",
     }
     out = json.dumps(report, indent=1)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
