@@ -137,6 +137,58 @@ def _coupling_spec(coupling_p, graph_axis):
     return P(graph_axis, None)
 
 
+def _coupling_parts(a_loc, matmul_dtype):
+    """Normalize a per-shard coupling (dense array / QuantCoupling /
+    ShardedBlockSparseCoupling) into the pieces the per-color partial-fields
+    computation needs: (packed, quant, a_mm_or_bsc_parts, q_scale).  Shared
+    by the XLA sweep body here and the Pallas-update body
+    (ops/gibbs_graph_sharded_pallas.py)."""
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        ShardedBlockSparseCoupling,
+    )
+
+    packed = isinstance(a_loc, ShardedBlockSparseCoupling)
+    quant = isinstance(a_loc, QuantCoupling) or (packed and a_loc.quantized)
+    if packed:
+        parts = (
+            a_loc.panels, a_loc.offs, a_loc.slot_base, a_loc.kmax, a_loc.chunk,
+        )
+        return packed, quant, parts, a_loc.scale
+    if quant:
+        return packed, quant, a_loc.q, a_loc.scale
+    a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
+    return packed, quant, a_mm, None
+
+
+def _partial_fields(
+    parts, s_own, c, start, stop, *, packed, quant, matmul_dtype
+):
+    """This shard's contribution to color ``c``'s fields from its own
+    columns ``s_own`` (rows, l_loc): the (rows, width) partial the caller
+    psums over the graph axis (int32 when quantized — exact for ±1 × int8 —
+    with the scale-out after the collective).  Returns None when NO shard
+    couples into this color (static; every shard agrees)."""
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        color_partial_fields,
+    )
+
+    if packed:
+        return color_partial_fields(
+            parts, s_own, c, start, stop, quantized=quant,
+            matmul_dtype=matmul_dtype,
+        )
+    if quant:
+        s_mm = s_own.astype(jnp.int8)
+    else:
+        s_mm = s_own.astype(matmul_dtype) if matmul_dtype else s_own
+    return jax.lax.dot_general(
+        s_mm,
+        jax.lax.slice_in_dim(parts, start, stop, axis=1),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32 if quant else jnp.float32,
+    )
+
+
 def _sweep_body(
     key, hp, a_loc, s_loc, beta, blocks, row_axis, graph_axis, n_sweeps,
     matmul_dtype, track_delta_e=False,
@@ -162,11 +214,6 @@ def _sweep_body(
     row0 = jax.lax.axis_index(row_axis) * c_loc if row_axis else 0
     row_ids = row0 + jnp.arange(c_loc)
 
-    from image_generation_tpu.ops.block_sparse_sharded import (
-        ShardedBlockSparseCoupling,
-        color_partial_fields,
-    )
-
     beta = jnp.asarray(beta, dtype=s_loc.dtype)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     # int8-quantized coupling shard (ops/quant.py): partial fields
@@ -174,42 +221,20 @@ def _sweep_body(
     # graph axis is exact too and the scale-out happens once, after the
     # collective; the result samples the quantized model identically to
     # the single-device int8 path (``matmul_dtype`` is ignored).
-    packed = isinstance(a_loc, ShardedBlockSparseCoupling)
-    quant = isinstance(a_loc, QuantCoupling) or (packed and a_loc.quantized)
-    if packed:
-        # block-sparse packed rows (ops/block_sparse_sharded.py): this
-        # shard's occupied chunk panels + their local offsets; the per-color
-        # matmul reads only those (panels are already in resident dtype)
-        bsc_parts = (
-            a_loc.panels, a_loc.offs, a_loc.slot_base, a_loc.kmax, a_loc.chunk,
-        )
-        q_scale = a_loc.scale
-    elif quant:
-        a_mm, q_scale = a_loc.q, a_loc.scale
-    else:
-        a_mm = a_loc.astype(matmul_dtype) if matmul_dtype else a_loc
+    # block-sparse packed rows (ops/block_sparse_sharded.py): this shard's
+    # occupied chunk panels + their local offsets; the per-color matmul
+    # reads only those (panels are already in resident dtype).
+    packed, quant, a_parts, q_scale = _coupling_parts(a_loc, matmul_dtype)
 
     def sweep(carry, k_sweep):
         s, de = carry
         for c, (start, valid_stop, stop) in enumerate(blocks):
             width = stop - start
             k = jax.random.fold_in(k_sweep, c)
-            if packed:
-                partial_f = color_partial_fields(
-                    bsc_parts, s, c, start, stop, quantized=quant,
-                    matmul_dtype=matmul_dtype,
-                )
-            else:
-                if quant:
-                    s_mm = s.astype(jnp.int8)
-                else:
-                    s_mm = s.astype(matmul_dtype) if matmul_dtype else s
-                partial_f = jax.lax.dot_general(
-                    s_mm,
-                    jax.lax.slice_in_dim(a_mm, start, stop, axis=1),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32 if quant else jnp.float32,
-                )
+            partial_f = _partial_fields(
+                a_parts, s, c, start, stop, packed=packed, quant=quant,
+                matmul_dtype=matmul_dtype,
+            )
             if partial_f is None:
                 # no shard has couplings into this color (static property of
                 # the plan — every shard agrees): fields are just h
