@@ -277,36 +277,52 @@ def gibbs_sweeps_block_sparse(
     panels are already stored in their resident dtype); int8 panels run the
     exact int32-accumulation path regardless.
     """
+    from image_generation_tpu.ops.gibbs import class_spans
+
     assert plan is bsc.plan, "plan/coupling mismatch"
-    beta = jnp.asarray(beta, dtype=spins_p.dtype)
+    beta = jnp.asarray(beta, dtype=jnp.float32)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     chains = spins_p.shape[0]
     offs, _ = panel_offsets(plan, bsc.chunk)
+    spans = class_spans(plan)
+    # spins are CARRIED in the panels' resident dtype (int8 when quantized):
+    # ±1 is exact, the per-span state re-read halves/quarters, and the
+    # per-block matmul casts become no-ops (see ops/gibbs.gibbs_sweeps).
+    in_dtype = spins_p.dtype
+    carry_dtype = jnp.int8 if bsc.quantized else bsc.panels.dtype
 
     def sweep(carry, k_sweep):
         s, de = carry
-        for c, (c0, _v, c1) in enumerate(plan.blocks):
-            width = c1 - c0
-            k = jax.random.fold_in(k_sweep, c)
-            f = _color_fields(bsc, s, c, offs)
-            fields = jax.lax.slice_in_dim(hp, c0, c1)
-            if f is not None:
-                fields = fields + f
-            else:
-                fields = jnp.broadcast_to(fields, (chains, width))
+        for ci, (start, stop, b0, b1) in enumerate(spans):
+            width = stop - start
+            k = jax.random.fold_in(k_sweep, ci)
+            # per-block packed fields, concatenated over the span (blocks
+            # tile it contiguously); no updates intervene — one class, one
+            # independent set
+            parts = []
+            for c in range(b0, b1):
+                c0, _v, c1 = plan.blocks[c]
+                f = _color_fields(bsc, s, c, offs)
+                base = jax.lax.slice_in_dim(hp, c0, c1)
+                parts.append(
+                    base + f if f is not None
+                    else jnp.broadcast_to(base, (chains, c1 - c0))
+                )
+            fields = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
             p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
             u = jax.random.uniform(k, (chains, width), dtype=jnp.float32)
             new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
             if track_delta_e:
-                old = jax.lax.slice_in_dim(s, c0, c1, axis=1)
+                old = jax.lax.slice_in_dim(s, start, stop, axis=1)
                 de = de + jnp.sum(
                     fields * (new - old).astype(jnp.float32), axis=-1
                 )
-            s = jax.lax.dynamic_update_slice_in_dim(s, new, c0, axis=1)
+            s = jax.lax.dynamic_update_slice_in_dim(s, new, start, axis=1)
         return (s, de), None
 
     de0 = jnp.zeros((chains,), jnp.float32)
     (spins_p, de), _ = jax.lax.scan(
-        sweep, (spins_p, de0), jax.random.split(key, n_sweeps)
+        sweep, (spins_p.astype(carry_dtype), de0), jax.random.split(key, n_sweeps)
     )
+    spins_p = spins_p.astype(in_dtype)
     return (spins_p, de) if track_delta_e else spins_p

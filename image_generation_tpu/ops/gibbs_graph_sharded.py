@@ -18,7 +18,9 @@ Layout (inside ``shard_map`` over a (chain_axis × graph_axis) mesh):
                                full column span of its row block: A[rows_d, :])
   * fields   h (n_pad,)      → replicated (tiny)
 
-A color update with contraction dim split over P_g devices:
+A class-span update (gibbs.class_spans — one whole color class per step,
+possibly several width-capped blocks wide) with the contraction dim split
+over P_g devices:
 
     partial_d = S[:, rows_d] @ A[rows_d, c0:c1]      # (C_loc, width) each
     fields    = psum(partial_d, graph_axis) + h[c0:c1]
@@ -26,14 +28,18 @@ A color update with contraction dim split over P_g devices:
                                                      # graph-axis device
     S[:, cols_d ∩ [c0,c1)] = new[...]                # local masked write
 
-The uniform draw is keyed per (sweep, color, GLOBAL chain id) — never the
-graph-shard index — so all graph-axis devices compute the same block update
+The uniform draw is keyed per (sweep, span, GLOBAL chain id) — never the
+graph-shard index — so all graph-axis devices compute the same span update
 from the same psum'd fields and each writes its own slice (a margin-padded
 dynamic_update_slice + static window read: no gathers/scatters in the sweep
-loop) — the sweep is a valid systematic-scan Gibbs sweep with
-per-sweep ICI traffic of one (C_loc, n_pad) f32 psum (sub-ms on a v5e-8 at
-the scaled config).  FLOPs split evenly across ``graph_axis`` for every
-color because the contraction (not the output) dimension is sharded.
+loop) — the sweep is a valid systematic-scan Gibbs sweep with per-sweep ICI
+traffic of one (C_loc, n_pad) f32 psum split into n_classes collectives
+(7 per sweep at the scaled Pegasus config, NOT one per 128-wide block —
+collective count is the multi-chip latency term).  Spins are carried in
+the matmul dtype across the whole scan (±1 is exact in bf16/int8), so the
+per-span full-state re-read — the dominant HBM term — is 2-4× lighter than
+an f32 carry.  FLOPs split evenly across ``graph_axis`` for every span
+because the contraction (not the output) dimension is sharded.
 
 Energies ride a reduce_scatter: partial = S_loc @ A_loc is device d's
 contribution to EVERY column block of S@A; reduce-scattering it over
@@ -71,7 +77,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from image_generation_tpu.ops.gibbs import GibbsPlan
+from image_generation_tpu.ops.gibbs import GibbsPlan, class_spans
 from image_generation_tpu.ops.quant import QuantCoupling
 
 __all__ = [
@@ -189,9 +195,43 @@ def _partial_fields(
     )
 
 
+def _span_partial_fields(
+    a_parts, s, span, blocks, *, packed, quant, matmul_dtype
+):
+    """This shard's partial fields for a whole class span (gibbs.class_spans):
+    dense/int8 couplings contract the span's column range in ONE dot;
+    packed couplings concatenate the member blocks' chunk matmuls (no
+    updates intervene — the span is one independent set).  None when no
+    shard couples into any member block."""
+    start, stop, b0, b1 = span
+    if not packed:
+        return _partial_fields(
+            a_parts, s, b0, start, stop, packed=False, quant=quant,
+            matmul_dtype=matmul_dtype,
+        )
+    parts = []
+    any_occupied = False
+    for c in range(b0, b1):
+        c0, _v, c1 = blocks[c]
+        f = _partial_fields(
+            a_parts, s, c, c0, c1, packed=True, quant=quant,
+            matmul_dtype=matmul_dtype,
+        )
+        if f is None:
+            f = jnp.zeros(
+                (s.shape[0], c1 - c0), jnp.int32 if quant else jnp.float32
+            )
+        else:
+            any_occupied = True
+        parts.append(f)
+    if not any_occupied:
+        return None
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _sweep_body(
-    key, hp, a_loc, s_loc, beta, blocks, row_axis, graph_axis, n_sweeps,
-    matmul_dtype, track_delta_e=False,
+    key, hp, a_loc, s_loc, beta, blocks, spans, row_axis, graph_axis,
+    n_sweeps, matmul_dtype, track_delta_e=False,
 ):
     """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad).
     ``row_axis`` is None when chain rows are replicated (non-tiling count).
@@ -214,7 +254,7 @@ def _sweep_body(
     row0 = jax.lax.axis_index(row_axis) * c_loc if row_axis else 0
     row_ids = row0 + jnp.arange(c_loc)
 
-    beta = jnp.asarray(beta, dtype=s_loc.dtype)
+    beta = jnp.asarray(beta, dtype=jnp.float32)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     # int8-quantized coupling shard (ops/quant.py): partial fields
     # accumulate in int32 — EXACT for ±1 × int8 — so the psum over the
@@ -225,14 +265,24 @@ def _sweep_body(
     # occupied chunk panels + their local offsets; the per-color matmul
     # reads only those (panels are already in resident dtype).
     packed, quant, a_parts, q_scale = _coupling_parts(a_loc, matmul_dtype)
+    # spins are CARRIED in the matmul dtype (int8 in quant mode): ±1 stays
+    # exact, every per-span state re-read and margin-buffer write shrinks
+    # 2-4×, and the matmul casts become no-ops.  The span loop (one psum
+    # per CLASS, not per 128-wide block — gibbs.class_spans) is what cuts
+    # the collective count: 47 → 7 per sweep at the scaled Pegasus config.
+    in_dtype = s_loc.dtype
+    carry_dtype = jnp.int8 if quant else (
+        jnp.dtype(matmul_dtype) if matmul_dtype else in_dtype
+    )
 
     def sweep(carry, k_sweep):
         s, de = carry
-        for c, (start, valid_stop, stop) in enumerate(blocks):
+        for ci, span in enumerate(spans):
+            start, stop, _b0, _b1 = span
             width = stop - start
-            k = jax.random.fold_in(k_sweep, c)
-            partial_f = _partial_fields(
-                a_parts, s, c, start, stop, packed=packed, quant=quant,
+            k = jax.random.fold_in(k_sweep, ci)
+            partial_f = _span_partial_fields(
+                a_parts, s, span, blocks, packed=packed, quant=quant,
                 matmul_dtype=matmul_dtype,
             )
             if partial_f is None:
@@ -285,8 +335,9 @@ def _sweep_body(
 
     de0 = jnp.zeros((c_loc,), jnp.float32)
     (s_loc, de), _ = jax.lax.scan(
-        sweep, (s_loc, de0), jax.random.split(key, n_sweeps)
+        sweep, (s_loc.astype(carry_dtype), de0), jax.random.split(key, n_sweeps)
     )
+    s_loc = s_loc.astype(in_dtype)
     if track_delta_e:
         return s_loc, jax.lax.psum(de, graph_axis)
     return s_loc
@@ -313,8 +364,8 @@ def gibbs_sweeps_graph_sharded(
     dimension over ``graph_axis``.  ``beta`` may be scalar or per-chain
     (C,).  Returns (C, n_pad) spins with P(chain_axis, graph_axis) layout.
 
-    RNG note: uniforms are keyed per (sweep, color, global chain id), so
-    results are invariant to the mesh factorization — bit-exact across
+    RNG note: uniforms are keyed per (sweep, class span, global chain id),
+    so results are invariant to the mesh factorization — bit-exact across
     graph-axis sizes when couplings are order-exact in f32 (tested) — but
     the stream differs from the replicated-graph ``gibbs_sweeps``; both are
     valid Gibbs chains of the same model (statistically validated against
@@ -343,6 +394,7 @@ def gibbs_sweeps_graph_sharded(
         partial(
             _sweep_body,
             blocks=plan.blocks,
+            spans=class_spans(plan),
             row_axis=row_axis,
             graph_axis=graph_axis,
             n_sweeps=n_sweeps,
