@@ -229,9 +229,25 @@ def _span_partial_fields(
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
 
 
+def _xla_update(k, fields, beta_col, row_ids, u_span=None):
+    """The default Bernoulli block update: per-(global chain, span) threefry
+    uniforms — identical on every graph-axis device and invariant to the
+    mesh factorization.  ``update_fn`` replacements (the Pallas hardware-PRNG
+    kernel, ops/gibbs_graph_sharded_pallas.py) must keep both properties."""
+    p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
+    if u_span is None:
+        row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)
+        u_span = jax.vmap(
+            lambda kk: jax.random.uniform(
+                kk, (fields.shape[-1],), dtype=fields.dtype
+            )
+        )(row_keys)
+    return jnp.where(u_span < p_plus, 1.0, -1.0)
+
+
 def _sweep_body(
-    key, hp, a_loc, s_loc, beta, blocks, spans, row_axis, graph_axis,
-    n_sweeps, matmul_dtype, track_delta_e=False,
+    key, hp, a_loc, s_loc, beta, uniforms_loc, blocks, spans, row_axis,
+    graph_axis, n_sweeps, matmul_dtype, track_delta_e=False, update_fn=None,
 ):
     """Per-shard sweep loop. s_loc: (C_loc, L); a_loc: (L, n_pad).
     ``row_axis`` is None when chain rows are replicated (non-tiling count).
@@ -242,7 +258,11 @@ def _sweep_body(
     accumulates its partial Σ_{owned∩block} fields·Δs locally through the
     whole scan and ONE final psum over ``graph_axis`` delivers the total —
     PT rounds carry ladder energies instead of recomputing them through the
-    reduce_scatter path (pt_round)."""
+    reduce_scatter path (pt_round).
+
+    ``update_fn``: the Bernoulli block update (default ``_xla_update``; the
+    Pallas hardware-PRNG kernel plugs in here).  ``uniforms_loc``: explicit
+    (n_sweeps, C_loc, n_pad) uniforms for the update (tests), else None."""
     c_loc, l_loc = s_loc.shape
     g_idx = jax.lax.axis_index(graph_axis)
     # this shard's global column ids — the write mask for every color block
@@ -274,8 +294,10 @@ def _sweep_body(
     carry_dtype = jnp.int8 if quant else (
         jnp.dtype(matmul_dtype) if matmul_dtype else in_dtype
     )
+    update = update_fn or _xla_update
 
-    def sweep(carry, k_sweep):
+    def sweep(carry, xs):
+        k_sweep, u_sweep = xs if uniforms_loc is not None else (xs, None)
         s, de = carry
         for ci, span in enumerate(spans):
             start, stop, _b0, _b1 = span
@@ -296,12 +318,11 @@ def _sweep_body(
                 if quant:
                     fields = fields.astype(jnp.float32) * q_scale
                 fields = fields + jax.lax.slice_in_dim(hp, start, stop)
-            p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
-            row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)
-            u = jax.vmap(
-                lambda kk: jax.random.uniform(kk, (width,), dtype=fields.dtype)
-            )(row_keys)
-            new = jnp.where(u < p_plus, 1.0, -1.0).astype(s.dtype)
+            u_span = (
+                None if u_sweep is None
+                else jax.lax.slice_in_dim(u_sweep, start, stop, axis=1)
+            )
+            new = update(k, fields, beta_col, row_ids, u_span).astype(s.dtype)
             # write the slice of [start, stop) this shard owns — slice-only
             # (no gathers in the sweep loop, per the GibbsPlan invariant):
             # place the block update into a margin-padded buffer at its
@@ -334,8 +355,11 @@ def _sweep_body(
         return (s, de), None
 
     de0 = jnp.zeros((c_loc,), jnp.float32)
+    xs = jax.random.split(key, n_sweeps)
+    if uniforms_loc is not None:
+        xs = (xs, uniforms_loc)
     (s_loc, de), _ = jax.lax.scan(
-        sweep, (s_loc.astype(carry_dtype), de0), jax.random.split(key, n_sweeps)
+        sweep, (s_loc.astype(carry_dtype), de0), xs
     )
     s_loc = s_loc.astype(in_dtype)
     if track_delta_e:
@@ -356,6 +380,9 @@ def gibbs_sweeps_graph_sharded(
     graph_axis: str = "chain",
     matmul_dtype=None,
     track_delta_e: bool = False,
+    pallas_update: bool = False,
+    pallas_interpret: bool = False,
+    uniforms: jax.Array | None = None,
 ):
     """``gibbs_sweeps`` with the graph dimension partitioned over the mesh.
 
@@ -370,6 +397,15 @@ def gibbs_sweeps_graph_sharded(
     the stream differs from the replicated-graph ``gibbs_sweeps``; both are
     valid Gibbs chains of the same model (statistically validated against
     exact Boltzmann enumeration).
+
+    ``pallas_update``: run the Bernoulli block update as the Pallas
+    hardware-PRNG kernel (ops/gibbs_graph_sharded_pallas.py) instead of the
+    XLA threefry draw — same matmul/psum structure, a different (hardware)
+    uniform stream.  ``uniforms``: explicit (n_sweeps, C, n_pad) uniforms
+    for the update (replicated over the graph axis) — with
+    ``xla_stream_uniforms`` this makes the kernel path bit-exact against
+    the XLA path (tests); ``pallas_interpret`` runs the kernel in the plain
+    interpreter (CPU meshes).
     """
     if not supports_graph_sharding(plan, mesh, graph_axis):
         raise ValueError(
@@ -390,29 +426,49 @@ def gibbs_sweeps_graph_sharded(
         # delta energies are psum'd over the graph axis inside the body →
         # replicated across it; rows follow the chains' row sharding
         out_specs = (out_specs, P(row_axis))
+    update_fn = None
+    if pallas_update:
+        from image_generation_tpu.ops.gibbs_graph_sharded_pallas import (
+            make_pallas_update,
+        )
+
+        update_fn = make_pallas_update(interpret=pallas_interpret)
+    body = partial(
+        _sweep_body,
+        blocks=plan.blocks,
+        spans=class_spans(plan),
+        row_axis=row_axis,
+        graph_axis=graph_axis,
+        n_sweeps=n_sweeps,
+        matmul_dtype=matmul_dtype,
+        track_delta_e=track_delta_e,
+        update_fn=update_fn,
+    )
+    in_specs = [
+        P(),                       # key (replicated; folded per shard)
+        P(),                       # hp (replicated — n_pad f32 is tiny)
+        coupling_spec,             # coupling rows (q rows + scale if int8)
+        P(row_axis, graph_axis),   # spins
+        beta_spec,
+    ]
+    args = [key, hp, coupling_p, spins_p, beta_arr]
+    if uniforms is None:
+        body_fn = lambda key_, hp_, a_, s_, b_: body(key_, hp_, a_, s_, b_, None)
+    else:
+        # explicit update uniforms: every graph-axis shard must see the FULL
+        # span width (they all compute the whole block update), so the last
+        # dim stays replicated over the graph axis
+        body_fn = body
+        in_specs.append(P(None, row_axis, None))
+        args.append(uniforms)
     fn = shard_map(
-        partial(
-            _sweep_body,
-            blocks=plan.blocks,
-            spans=class_spans(plan),
-            row_axis=row_axis,
-            graph_axis=graph_axis,
-            n_sweeps=n_sweeps,
-            matmul_dtype=matmul_dtype,
-            track_delta_e=track_delta_e,
-        ),
+        body_fn,
         mesh=mesh,
-        in_specs=(
-            P(),                       # key (replicated; folded per shard)
-            P(),                       # hp (replicated — n_pad f32 is tiny)
-            coupling_spec,             # coupling rows (q rows + scale if int8)
-            P(row_axis, graph_axis),   # spins
-            beta_spec,
-        ),
+        in_specs=tuple(in_specs),
         out_specs=out_specs,
         check_vma=False,
     )
-    return fn(key, hp, coupling_p, spins_p, beta_arr)
+    return fn(*args)
 
 
 def _energy_body(hp, a_loc, s_loc, graph_axis, matmul_dtype):

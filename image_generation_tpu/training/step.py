@@ -344,14 +344,21 @@ def make_train_fns(
             pallas_vmem = False
         else:
             block_sparse = False
+    gs_pallas_update = False
     if graph_sharded:
         # composes with int8: the quantized coupling's int8 rows shard the
         # same way (QuantCoupling q over 'chain', scale replicated) and the
         # partial-fields psum rides int32 — exact for ±1 × int8 — with one
         # scale-out after the collective (ops/gibbs_graph_sharded.py);
-        # beyond-HBM couplings shrink another 2× vs bf16
-        pallas_ok = False  # the kernel holds full coupling rows per chip
-        sampler_impl = "xla_graph_sharded"
+        # beyond-HBM couplings shrink another 2× vs bf16.
+        # The streaming kernels themselves cannot cross the per-span psum
+        # boundary (a collective can't run inside Mosaic), but their
+        # hardware-PRNG Bernoulli update can: use_pallas swaps the XLA
+        # threefry update for the Pallas span-update kernel
+        # (ops/gibbs_graph_sharded_pallas.py) — matmuls/psums stay XLA.
+        pallas_ok = False  # the full kernels hold whole coupling rows
+        gs_pallas_update = use_pallas
+        sampler_impl = "xla_graph_sharded" + ("+plrng" if gs_pallas_update else "")
     elif pallas_ok:
         sampler_impl = "pallas_vmem" if pallas_vmem else "pallas_hbm"
         if pallas_sharded:
@@ -388,6 +395,7 @@ def make_train_fns(
             return gibbs_sweeps_graph_sharded(
                 key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
                 matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
+                pallas_update=gs_pallas_update,
             )
         if pallas_ok and pallas_vmem:
             if pallas_sharded:

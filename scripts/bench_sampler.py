@@ -67,6 +67,20 @@ def main():
         "--bs-chunks", type=int, nargs="*", default=[128, 256],
         help="block-sparse chunk heights to bench (ops/block_sparse.py)",
     )
+    ap.add_argument(
+        "--only", default=None,
+        help="substring filter on variant names; results MERGE into the "
+        "existing runs/sampler_bench.json ms table (same-session controls: "
+        "include the control variant in the filter)",
+    )
+    ap.add_argument(
+        "--ablate-spans", action="store_true",
+        help="single-knob ablation of the class-span sweep order "
+        "(ops/gibbs.class_spans): adds *_nospan controls (a plan copy with "
+        "block_class=None — the exact pre-span per-block order) and the "
+        "graph-sharded sweep on a 1-device mesh (the program structure the "
+        "beyond-HBM mode runs per shard, psums degenerate)",
+    )
     args = ap.parse_args()
 
     dev = jax.devices()[0]
@@ -119,20 +133,78 @@ def main():
         variants[f"xla_bs{c}_bf16"] = (
             lambda k, s, b=bs_bf16[c]: gibbs_sweeps(k, hp, b, plan, s, n_sw)
         )
+    if args.ablate_spans:
+        import dataclasses
+
+        from jax.sharding import Mesh
+        from image_generation_tpu.ops.gibbs_graph_sharded import (
+            gibbs_sweeps_graph_sharded,
+        )
+
+        # block_class=None → class_spans degrades to one span per block:
+        # bit-for-bit the pre-span iteration order and RNG stream
+        plan_ns = dataclasses.replace(plan, block_class=None)
+        mesh1 = Mesh(
+            np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "chain")
+        )
+        variants.update({
+            "xla_bf16_nospan": lambda k, s: gibbs_sweeps(
+                k, hp, cp_bf16, plan_ns, s, n_sw, matmul_dtype=jnp.bfloat16
+            ),
+            "xla_int8_nospan": lambda k, s: gibbs_sweeps(
+                k, hp, qc, plan_ns, s, n_sw
+            ),
+            "gs_bf16": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, cp_bf16, plan, s, n_sw, mesh1,
+                matmul_dtype=jnp.bfloat16,
+            ),
+            "gs_bf16_nospan": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, cp_bf16, plan_ns, s, n_sw, mesh1,
+                matmul_dtype=jnp.bfloat16,
+            ),
+            "gs_int8": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, qc, plan, s, n_sw, mesh1
+            ),
+            "gs_int8_nospan": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, qc, plan_ns, s, n_sw, mesh1
+            ),
+            # the composed Pallas span-update kernel (hardware PRNG —
+            # ops/gibbs_graph_sharded_pallas.py): the r3-VERDICT item-2
+            # measurement, single-shard harness (psums degenerate; the
+            # matmul/psum structure is byte-identical to gs_*)
+            "gs_bf16_plrng": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, cp_bf16, plan, s, n_sw, mesh1,
+                matmul_dtype=jnp.bfloat16, pallas_update=True,
+            ),
+            "gs_int8_plrng": lambda k, s: gibbs_sweeps_graph_sharded(
+                k, hp, qc, plan, s, n_sw, mesh1, pallas_update=True
+            ),
+        })
     out = {
         "device": str(getattr(dev, "device_kind", dev.platform)),
         "n": graph.n, "n_pad": plan.n_pad, "chains": args.chains,
         "sweeps_per_refresh": args.sweeps, "reps": args.reps, "ms": {},
     }
+    out_path = Path("runs/sampler_bench.json")
+    if args.only is not None:
+        variants = {n: f for n, f in variants.items() if args.only in n}
+        if out_path.exists():  # partial run: keep the other variants' rows
+            out["ms"].update(json.loads(out_path.read_text()).get("ms", {}))
     for name, fn in variants.items():
         key, k = jax.random.split(key)
         out["ms"][name] = round(timed(name, fn, k, s0, args.reps), 3)
 
     flops = 2.0 * args.chains * plan.n_pad * plan.n_pad * args.sweeps
-    out["tops_int8"] = round(flops / (out["ms"]["pallas_hbm_int8"] / 1e3) / 1e12, 1)
-    out["tflops_bf16"] = round(flops / (out["ms"]["pallas_hbm_bf16"] / 1e3) / 1e12, 1)
+    if "pallas_hbm_int8" in out["ms"]:
+        out["tops_int8"] = round(
+            flops / (out["ms"]["pallas_hbm_int8"] / 1e3) / 1e12, 1
+        )
+    if "pallas_hbm_bf16" in out["ms"]:
+        out["tflops_bf16"] = round(
+            flops / (out["ms"]["pallas_hbm_bf16"] / 1e3) / 1e12, 1
+        )
     Path("runs").mkdir(exist_ok=True)
-    Path("runs/sampler_bench.json").write_text(json.dumps(out, indent=1))
+    out_path.write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
