@@ -63,6 +63,10 @@ def _config_overrides(args):
         overrides["SWEEP_BS_CHUNK"] = args.sweep_bs_chunk
     if getattr(args, "sampler", None) is not None:
         overrides["SAMPLER"] = args.sampler
+    if getattr(args, "pt_num_betas", None) is not None:
+        v = args.pt_num_betas
+        overrides["PT_NUM_BETAS"] = v if v == "auto" else int(v)
+        overrides.setdefault("SAMPLER", "pt")  # a rung count implies PT
     if getattr(args, "pt_betas", None):
         overrides["PT_BETAS"] = _parse_pt_betas(args.pt_betas)
         overrides.setdefault("SAMPLER", "pt")  # a ladder implies PT
@@ -168,6 +172,14 @@ def _write_details(trainer, files, epoch=None, n_epochs=None, mse=None,
             b = stats["pt_betas"]
             extra["PT ladder (adapted)"] = (
                 f"[{b[0]:.3g} … {b[-1]:.3g}] × {len(b)}"
+            )
+        if "pt_recommended_num_betas" in stats:
+            # equal-barrier sizing from the same free metric — flags an
+            # over/under-provisioned ladder (PT_NUM_BETAS="auto" applies
+            # it at build time; ops/pt_tune.recommend_num_betas)
+            extra["PT rungs (used/recommended)"] = (
+                f"{trainer.config.PT_NUM_BETAS} / "
+                f"{stats['pt_recommended_num_betas']}"
             )
     files.write_problem_details(
         qpu=trainer.qpu,
@@ -409,12 +421,17 @@ def cmd_tune_pt(args):
     )
     tuned[-1] = 1.0  # PT_BETAS contract: ladder ends exactly at the target
     out_path = model_dir / "pt_betas.json"
+    from image_generation_tpu.ops.pt_tune import recommend_num_betas
+
     out_path.write_text(json.dumps({
         "betas": [float(b) for b in tuned],
         "accept_before": [round(float(a), 4) for a in diag0.accept],
         "accept_after": [round(float(a), 4) for a in diag1.accept],
         "barrier_before": round(diag0.barrier, 4),
         "barrier_after": round(diag1.barrier, 4),
+        # equal-barrier rung-count sizing from the tuned (equalized) curve
+        # (ops/pt_tune.recommend_num_betas — PT_NUM_BETAS="auto" backend)
+        "recommended_num_betas": recommend_num_betas(diag1.accept),
     }, indent=1))
     ladder = ",".join(f"{b:.5g}" for b in tuned)
     print(f"saved: {out_path}")
@@ -504,6 +521,13 @@ def build_parser():
         "--sampler", default=None, choices=["gibbs", "pt", "exact"],
         help="negative-phase sampler (default from YAML/config: gibbs; "
         "'pt' runs a parallel-tempering ladder — see tune-pt)",
+    )
+    common.add_argument(
+        "--pt-num-betas", default=None,
+        help="PT ladder size: an int, or 'auto' to size it at build time "
+        "from a short swap-acceptance probe of the current model "
+        "(ops/pt_tune.size_ladder; implies --sampler pt; an explicit "
+        "--pt-betas ladder wins)",
     )
     common.add_argument(
         "--pt-betas", default=None,

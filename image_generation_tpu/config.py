@@ -47,7 +47,12 @@ class TrainingConfig:
     GIBBS_SWEEPS: int = 16  # sweeps per negative-phase refresh
     GIBBS_BURN_IN: int = 64  # extra sweeps when (re)initializing chains
     PERSISTENT_CHAINS: bool = True  # PCD: carry chain state across steps
-    PT_NUM_BETAS: int = 8  # parallel-tempering ladder size (SAMPLER="pt")
+    PT_NUM_BETAS: int = 8  # parallel-tempering ladder size (SAMPLER="pt");
+    # or "auto": the Trainer sizes the ladder at sampler build
+    # (train_init / checkpoint load) from a short swap-acceptance probe of
+    # the CURRENT model (ops/pt_tune.size_ladder — the free pt_accept
+    # metric showed the scaled default was 10× over-provisioned).  An
+    # explicit PT_BETAS ladder always wins over "auto".
     PT_BETA_MIN: float = 0.25
     PT_BETAS: Optional[tuple] = None  # explicit PT ladder (ascending, last
     # rung 1.0) — e.g. a feedback-optimized schedule from
@@ -175,6 +180,16 @@ class TrainingConfig:
             # chain shapes everywhere key off PT_NUM_BETAS — keep it the
             # single source of ladder size
             object.__setattr__(self, "PT_NUM_BETAS", len(b))
+        v = self.PT_NUM_BETAS
+        if isinstance(v, str):
+            if v != "auto":
+                raise ValueError(
+                    f"PT_NUM_BETAS must be an int ≥ 2 or 'auto', got {v!r}"
+                )
+        elif not isinstance(v, int) or v < 2:
+            raise ValueError(
+                f"PT_NUM_BETAS must be an int ≥ 2 or 'auto', got {v!r}"
+            )
         if isinstance(self.PT_ADAPT, bool):  # YAML 1.1 'off' parses as False
             object.__setattr__(self, "PT_ADAPT", "epoch" if self.PT_ADAPT else "off")
         if self.PT_ADAPT not in ("off", "epoch"):
@@ -192,6 +207,12 @@ class TrainingConfig:
 
         if self.PT_BETAS is not None:
             return np.asarray(self.PT_BETAS, np.float64)
+        if self.PT_NUM_BETAS == "auto":
+            raise RuntimeError(
+                "PT_NUM_BETAS='auto' has not been resolved yet — the "
+                "Trainer sizes the ladder at train_init/load (or pass an "
+                "explicit PT_BETAS ladder)"
+            )
         return np.geomspace(self.PT_BETA_MIN, 1.0, self.PT_NUM_BETAS)
 
     def resolved_sampler_matmul_dtype(self, n_pad: int):

@@ -46,8 +46,10 @@ from image_generation_tpu.ops.gibbs import (
 __all__ = [
     "PTLadderDiagnostics",
     "make_acceptance_measurer",
+    "recommend_num_betas",
     "respace_betas",
     "round_trip_count",
+    "size_ladder",
     "swap_acceptance",
     "tune_pt_betas",
 ]
@@ -248,6 +250,84 @@ def round_trip_count(
     out = [run(k_run, ladder0, b) for b in ladders]
     out = [(int(t), float(c)) for t, c in out]
     return out if many else out[0]
+
+
+def recommend_num_betas(
+    accept, target_accept: float = 0.5, t_min: int = 2, t_max: int = 64
+) -> int:
+    """Rung count for an equal-barrier ladder whose per-pair swap
+    acceptance is ≥ ``target_accept``, from ANY measured per-pair
+    acceptance curve.
+
+    The communication barrier Λ = Σ(1−a_k) is (to first order) a property
+    of the MODEL, not of the ladder it was measured on: re-spacing moves
+    rejection between pairs but conserves the sum (Syed et al. 2021, §3).
+    An equal-barrier ladder with T rungs carries Λ/(T−1) rejection per
+    pair, so Λ/(T−1) ≤ 1−target ⇒ T = ⌈Λ/(1−target)⌉ + 1.
+
+    This is the sizing rule behind ``TrainingConfig.PT_NUM_BETAS="auto"``
+    (probe-measured via ``size_ladder``) and the free end-of-epoch ladder
+    recommendation (``Trainer.train_epoch`` feeds it the step's
+    ``StepMetrics.pt_accept`` — the metric that showed the scaled bench's
+    T=32 ladder was 10× over-provisioned, runs/scaled_train_adapt_t8.json).
+    """
+    accept = np.clip(np.asarray(accept, np.float64), 0.0, 1.0)
+    barrier = float(np.sum(1.0 - accept))
+    t = int(np.ceil(barrier / max(1e-9, 1.0 - float(target_accept)))) + 1
+    return int(np.clip(t, t_min, t_max))
+
+
+def size_ladder(
+    key: jax.Array,
+    hp: jax.Array,
+    coupling_p,
+    plan: GibbsPlan,
+    *,
+    beta_min: float,
+    t_probe: int = 16,
+    target_accept: float = 0.5,
+    t_min: int = 2,
+    t_max: int = 64,
+    n_chains: int = 128,
+    n_rounds: int = 16,
+    sweeps_per_round: int = 2,
+    burn_rounds: int = 8,
+    matmul_dtype=None,
+    sweeps_fn=None,
+    energies_fn=None,
+) -> tuple[np.ndarray, PTLadderDiagnostics]:
+    """Pick the PT rung count AND ladder for a model from a short
+    acceptance probe (the ``PT_NUM_BETAS="auto"`` backend).
+
+    Measures per-pair acceptance on a ``t_probe``-rung geometric probe over
+    [beta_min, 1], sizes T with ``recommend_num_betas``, and places the T
+    rungs at the probe's equal-barrier quantiles (the same piecewise-linear
+    Λ inversion as ``respace_betas``, but onto a different rung count).  If
+    the probe itself has a near-dead pair (min acceptance < 0.05) its Λ is
+    only a lower bound, so the probe is densified once (2×, capped at
+    ``t_max``) before sizing.
+
+    Returns ``(betas, probe_diag)`` — betas is a strictly ascending (T,)
+    ladder ending at exactly 1.0.
+    """
+    t_probe = int(np.clip(t_probe, 4, t_max))
+    for _ in range(2):
+        probe = np.geomspace(beta_min, 1.0, t_probe)
+        key, k = jax.random.split(key)
+        diag = swap_acceptance(
+            k, hp, coupling_p, plan, probe, n_chains, n_rounds,
+            sweeps_per_round, burn_rounds, matmul_dtype=matmul_dtype,
+            sweeps_fn=sweeps_fn, energies_fn=energies_fn,
+        )
+        if float(diag.accept.min()) >= 0.05 or t_probe >= t_max:
+            break
+        t_probe = min(2 * t_probe, t_max)
+    t_dim = recommend_num_betas(diag.accept, target_accept, t_min, t_max)
+    rej = np.maximum(1.0 - diag.accept, 1e-4)
+    lam = np.concatenate([[0.0], np.cumsum(rej)])
+    betas = np.interp(np.linspace(0.0, lam[-1], t_dim), lam, probe)
+    betas[0], betas[-1] = probe[0], 1.0
+    return betas, diag
 
 
 def respace_betas(betas, accept) -> np.ndarray:

@@ -142,6 +142,7 @@ class Trainer:
             self._load_dataset()
 
         self._n_epochs = n_epochs
+        self._resolve_auto_ladder(old_state.grbm_params if keep else None)
         total_steps = n_epochs * self.n_batches
         self.fns = make_train_fns(
             self.config, self.graph, total_steps, self.plan, mesh=self.mesh
@@ -156,6 +157,69 @@ class Trainer:
             state = self.fns.rebuild_sampler(state)
         self.state = self._shard(state)
         self._init_done = True
+
+    def _resolve_auto_ladder(self, grbm_params=None) -> None:
+        """PT_NUM_BETAS="auto": size the ladder from a short swap-acceptance
+        probe of the CURRENT model (ops/pt_tune.size_ladder) and freeze the
+        result into the config (PT_BETAS + PT_NUM_BETAS) before the step
+        functions are built — ladder size is a static chain-shape everywhere
+        (training/step.py), so it must be a concrete int by compile time.
+
+        ``grbm_params``: the model to probe — the loaded checkpoint's
+        (serving/tune: the case that matters; the scaled default T=32 was
+        measured 10× over-provisioned for the trained model,
+        runs/scaled_train_adapt_t8.json) or, for a fresh run, the same
+        small-random init training starts from (the barrier then grows with
+        the couplings — PT_ADAPT="epoch" moves rungs live, and train_epoch
+        reports a free rung-count recommendation each epoch).  No-op unless
+        SAMPLER="pt" and PT_NUM_BETAS="auto".
+        """
+        cfg = self.config
+        if cfg.SAMPLER != "pt" or cfg.PT_NUM_BETAS != "auto":
+            return
+        if cfg.GRAPH_SHARDED == "on" or self.plan.n_pad ** 2 * 4 > 2 << 30:
+            # the probe builds a dense replicated coupling — exactly what
+            # the beyond-HBM mode exists to avoid; size those offline
+            raise ValueError(
+                "PT_NUM_BETAS='auto' cannot probe a beyond-HBM "
+                "(graph-sharded) model at init — run the tune-pt CLI "
+                "(which routes through the graph-sharded measurer) and "
+                "pass its ladder via PT_BETAS/--pt-betas"
+            )
+        from image_generation_tpu.models.grbm import scaled_ising
+        from image_generation_tpu.ops.gibbs import permuted_model
+        from image_generation_tpu.ops.pt_tune import size_ladder
+
+        if grbm_params is None:
+            # the fused step's init draws the same small-random init
+            # (graph.init_params) — the probe sees the model training
+            # starts from
+            grbm_params = self.graph.init_params(
+                jax.random.PRNGKey(cfg.RANDOM_SEED)
+            )
+        h, q = scaled_ising(grbm_params, cfg.PREFACTOR, cfg.H_RANGE, cfg.J_RANGE)
+        hp, cp = permuted_model(self.plan, h, q)
+        mm = cfg.resolved_sampler_matmul_dtype(self.plan.n_pad)
+        # probe the SAME model training will sample (the single-source
+        # dtype/packing policy build_sampler_model applies)
+        if cfg.SAMPLER_MATMUL_DTYPE == "int8":
+            from image_generation_tpu.ops.quant import quantize_coupling
+
+            cp = quantize_coupling(cp)
+        elif mm is not None:
+            cp = cp.astype(mm)
+        betas, diag = size_ladder(
+            jax.random.fold_in(jax.random.PRNGKey(cfg.RANDOM_SEED), 73),
+            hp, cp, self.plan, beta_min=cfg.PT_BETA_MIN, matmul_dtype=mm,
+        )
+        self.pt_auto_info = {
+            "num_betas": int(len(betas)),
+            "probe_barrier": round(float(diag.barrier), 4),
+            "probe_rungs": int(len(diag.betas)),
+        }
+        self.config = cfg.replace(
+            PT_BETAS=tuple(float(b) for b in betas)
+        )  # __post_init__ sets PT_NUM_BETAS = len(PT_BETAS)
 
     def _shard(self, state):
         """Commit the mesh shardings on a fresh/loaded train state
@@ -222,6 +286,13 @@ class Trainer:
             acc = acc.mean(axis=0)
             stats["pt_accept_min"] = float(acc.min())
             stats["pt_accept_mean"] = float(acc.mean())
+            # free rung-count recommendation from the same metric (the
+            # equal-barrier sizing rule, ops/pt_tune.recommend_num_betas):
+            # surfaces over/under-provisioned ladders in problem details
+            # without any extra sampling
+            from image_generation_tpu.ops.pt_tune import recommend_num_betas
+
+            stats["pt_recommended_num_betas"] = recommend_num_betas(acc)
             if self.config.PT_ADAPT == "epoch":
                 stats["pt_betas"] = self._adapt_pt_betas(acc)
         return stats
@@ -363,6 +434,7 @@ class Trainer:
         self.losses = losses
         if self.images is None:
             self._load_dataset()
+        self._resolve_auto_ladder(grbm_params)
         total_steps = max(parameters.get("n_epochs", 1), 1) * max(self.n_batches, 1)
         self.fns = make_train_fns(
             self.config, self.graph, total_steps, self.plan, mesh=self.mesh

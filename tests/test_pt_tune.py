@@ -179,6 +179,97 @@ def test_pt_betas_reach_the_sampler():
     assert np.isfinite(t.losses["dvae_losses"]).all()
 
 
+def test_recommend_num_betas_sizing_rule():
+    """Equal-barrier rung sizing: T = ceil(Λ/(1−target)) + 1, clipped."""
+    from image_generation_tpu.ops.pt_tune import recommend_num_betas
+
+    # a fully-accepting ladder has zero barrier → the minimum rung count
+    assert recommend_num_betas(np.ones(31)) == 2
+    # Λ = 31·0.5 = 15.5 at target 0.5 → ceil(31)+1 = 32 (a ladder sitting
+    # exactly at its target acceptance keeps its size — self-consistency)
+    assert recommend_num_betas(np.full(31, 0.5)) == 32
+    # Λ = 7·0.9 = 6.3 at default target → ceil(12.6)+1 = 14
+    assert recommend_num_betas(np.full(7, 0.1)) == 14
+    # caps honored
+    assert recommend_num_betas(np.zeros(200), t_max=64) == 64
+    assert recommend_num_betas(np.ones(3), t_min=4) == 4
+
+
+def test_size_ladder_mild_vs_glass(glass):
+    """The auto-sizer picks few rungs for a mild model and more for a
+    frustrated glass (the VERDICT item-6 contract); ladders are strictly
+    ascending and end at exactly 1.0."""
+    from image_generation_tpu.ops.pt_tune import size_ladder
+
+    plan, hp, cp = glass
+    kw = dict(
+        beta_min=0.25, t_probe=8, n_chains=64, n_rounds=12, burn_rounds=4
+    )
+    betas_g, diag_g = size_ladder(jax.random.PRNGKey(11), hp, cp, plan, **kw)
+    # mild model: the same graph with 20×-weaker couplings
+    betas_m, diag_m = size_ladder(
+        jax.random.PRNGKey(11), hp, cp * 0.05, plan, **kw
+    )
+    assert len(betas_m) <= 8, f"mild model over-provisioned: {len(betas_m)}"
+    assert len(betas_g) > len(betas_m)
+    assert diag_g.barrier > diag_m.barrier
+    for b in (betas_g, betas_m):
+        assert np.all(np.diff(b) > 0)
+        assert b[-1] == 1.0 and b[0] == 0.25
+
+
+def test_config_pt_num_betas_auto():
+    """PT_NUM_BETAS accepts 'auto' (resolved by the Trainer), rejects other
+    strings / sub-2 counts, defers to an explicit PT_BETAS ladder, and
+    refuses to build a ladder before resolution."""
+    cfg = TrainingConfig(SAMPLER="pt", PT_NUM_BETAS="auto")
+    assert cfg.PT_NUM_BETAS == "auto"
+    with pytest.raises(RuntimeError, match="auto"):
+        cfg.initial_pt_betas()
+    # explicit ladder wins: auto is resolved away by __post_init__
+    cfg2 = TrainingConfig(
+        SAMPLER="pt", PT_NUM_BETAS="auto", PT_BETAS=[0.3, 0.6, 1.0]
+    )
+    assert cfg2.PT_NUM_BETAS == 3
+    with pytest.raises(ValueError, match="PT_NUM_BETAS"):
+        TrainingConfig(PT_NUM_BETAS="automatic")
+    with pytest.raises(ValueError, match="PT_NUM_BETAS"):
+        TrainingConfig(PT_NUM_BETAS=1)
+
+
+def test_trainer_resolves_auto_ladder():
+    """Trainer(SAMPLER='pt', PT_NUM_BETAS='auto'): train_init probes the
+    initial model, freezes a concrete ladder into the config, builds chains
+    of that size, and each epoch reports the free rung-count
+    recommendation; graph-sharded 'on' refuses (probe would materialize a
+    beyond-HBM coupling)."""
+    from image_generation_tpu.training.trainer import Trainer
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, DATASET_SIZE=32,
+        N_REPLICAS=2, GIBBS_SWEEPS=2, GIBBS_BURN_IN=4,
+        QPU="Advantage2_prototype", SAMPLER="pt", PT_NUM_BETAS="auto",
+        USE_PALLAS="off",
+    )
+    t = Trainer(config=cfg, mesh=None)
+    t.train_init(n_epochs=1)
+    resolved = t.config.PT_NUM_BETAS
+    assert isinstance(resolved, int) and resolved >= 2
+    assert t.config.PT_BETAS is not None and len(t.config.PT_BETAS) == resolved
+    assert t.state.chains.shape[0] == resolved
+    assert t.pt_auto_info["num_betas"] == resolved
+    # the near-zero init model needs almost no ladder
+    assert resolved <= 8
+    stats = t.train_epoch(0)
+    assert stats["pt_recommended_num_betas"] >= 2
+
+    t_gs = Trainer(
+        config=cfg.replace(GRAPH_SHARDED="on"), mesh=None
+    )
+    with pytest.raises(ValueError, match="beyond-HBM"):
+        t_gs.train_init(n_epochs=1)
+
+
 def test_round_trip_count_and_coverage(glass):
     """Flow diagnostics: trips/coverage well-formed, the shared-compile
     multi-ladder form matches the scalar form's shapes, and a two-rung
