@@ -28,21 +28,29 @@ _BARE_LAYOUT = {"margin": {"t": 0, "l": 0, "b": 0, "r": 0}}
 
 def imshow_figure(image: np.ndarray) -> dict:
     """Grayscale image as a heatmap figure (the px.imshow equivalent used
-    for generated/reconstructed grids, src/model_wrapper.py:389-394)."""
+    for generated/reconstructed grids, src/model_wrapper.py:389-394).
+
+    z is 8-bit quantized (ints 0-255, ``zmax`` 255): precision-identical to
+    the PNG the page renders from it (render_heatmap_png quantizes to uint8
+    anyway) and ~3× cheaper to JSON-serialize than rounded floats — on the
+    serving path the figure encode was the single biggest host cost
+    (runs/warm_serving_load.json).  Consumers scale by the figure's own
+    ``zmax``, so pre-r4 float figures (zmax 1.0) on disk keep rendering."""
     img = np.asarray(image)
     if img.ndim == 3:
         img = img[..., 0]
     z = np.flipud(img)  # heatmap y-axis points up; images point down
+    z8 = np.round(np.clip(z.astype(np.float64), 0.0, 1.0) * 255.0)
     return {
         "data": [
             {
                 "type": "heatmap",
-                "z": np.round(z.astype(np.float64), 4).tolist(),
+                "z": z8.astype(np.uint8).tolist(),
                 "colorscale": "Greys",
                 "reversescale": True,
                 "showscale": False,
-                "zmin": 0.0,
-                "zmax": 1.0,
+                "zmin": 0,
+                "zmax": 255,
             }
         ],
         "layout": {
@@ -122,7 +130,7 @@ def topology_figure(
 
 def write_figure(fig: dict, path) -> None:
     with open(path, "w") as f:
-        json.dump(fig, f)
+        json.dump(fig, f, separators=(",", ":"))  # compact: grids are ~1 MB
 
 
 _FULL_GRAPH_CACHE: dict = {}

@@ -57,7 +57,10 @@ def render_heatmap_png(fig: dict, scale: int = 1) -> bytes:
     if z.ndim != 2 or z.size == 0:
         raise ValueError(f"heatmap z must be non-empty 2-D, got shape {z.shape}")
     z = np.flipud(z)
-    v = np.clip(z, 0.0, 1.0)
+    # normalize by the figure's own scale: r4+ figures carry uint8 z with
+    # zmax 255 (figures.imshow_figure); pre-r4 float figures carry zmax 1.0
+    zmax = float(tr.get("zmax", 1.0)) or 1.0
+    v = np.clip(z / zmax, 0.0, 1.0)
     if not tr.get("reversescale", False):
         v = 1.0 - v
     img = Image.fromarray(np.round(v * 255).astype(np.uint8))

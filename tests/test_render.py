@@ -35,8 +35,25 @@ def test_heatmap_png_roundtrip():
     fig = imshow_figure(img[..., None])
     px = _png_pixels(render_heatmap_png(fig))
     assert px.shape == (4, 4)
-    expected = np.round(np.clip(np.round(img, 4), 0, 1) * 255).astype(np.uint8)
+    # uint8-quantized figure (zmax 255) → PNG roundtrip is EXACT
+    expected = np.round(np.clip(img, 0, 1) * 255).astype(np.uint8)
     np.testing.assert_array_equal(px, expected)
+
+
+def test_heatmap_png_renders_legacy_float_figures():
+    """Pre-r4 figure files carry float z with zmax 1.0 — the renderer must
+    normalize by the figure's own zmax, not assume the uint8 scale."""
+    img = np.linspace(0, 1, 16, dtype=np.float64).reshape(4, 4)
+    legacy = {
+        "data": [{
+            "z": np.flipud(img).tolist(), "zmin": 0.0, "zmax": 1.0,
+            "reversescale": True,
+        }]
+    }
+    px = _png_pixels(render_heatmap_png(legacy))
+    np.testing.assert_array_equal(
+        px, np.round(img * 255).astype(np.uint8)
+    )
 
 
 def test_heatmap_png_scale_and_errors():
