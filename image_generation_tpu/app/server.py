@@ -37,6 +37,7 @@ import re
 import subprocess
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import urlparse
@@ -556,7 +557,9 @@ def make_server(
             pass
 
         def _json(self, obj, code=200):
-            body = json.dumps(obj).encode()
+            # compact separators: figure payloads are ~1 MB of z values and
+            # this handler runs per request on the serving path
+            body = json.dumps(obj, separators=(",", ":")).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -723,6 +726,36 @@ def make_server(
                     "--epochs", str(int(body.get("epochs", 10))),
                 ] + extra)
                 return self._json({"started": ok}, 200 if ok else 409)
+            if self.path == "/api/generate_now":
+                # synchronous, coalescing warm serving: concurrent requests
+                # share one fused sample→decode dispatch (app/warm.py
+                # serve()); returns the figure directly — no workdir
+                # artifacts, no job slot, so it serves any number of
+                # concurrent clients beside the job-based UI flow
+                if warm is None:
+                    return self._json(
+                        {"error": "warm serving disabled (--warm-generate)"},
+                        400,
+                    )
+                model = model_dir(body.get("model", ""))
+                if model is None:
+                    return self._json({"error": "invalid model name"}, 400)
+                if not (model / "dvae.pth").exists():
+                    return self._json({"error": "unknown model"}, 404)
+                from image_generation_tpu.app.figures import imshow_figure
+
+                t0 = time.perf_counter()
+                try:
+                    out = warm.serve(model, sharpen=bool(body.get("sharpen")))
+                except Exception as e:
+                    return self._json(
+                        {"error": f"{type(e).__name__}: {e}"}, 500
+                    )
+                return self._json({
+                    "figure": imshow_figure(out["grid"]),
+                    "batched": out["batched"],
+                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                })
             if self.path in ("/api/generate", "/api/tune", "/api/refresh_model"):
                 model = model_dir(body.get("model", ""))
                 if model is None:

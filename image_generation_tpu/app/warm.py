@@ -19,13 +19,113 @@ the server's one-job-at-a-time JobManager).
 It writes exactly the artifacts the CLI ``generate`` job writes
 (app/cli.py cmd_generate), so the page's polling/redraw flow is unchanged
 whichever path served the request.
+
+``serve()`` is the CONCURRENT serving surface on top of the same resident
+trainer: requests that arrive while a device dispatch is in flight are
+queued and served together through ONE fused sample→decode dispatch (the
+bucket's requests fold into the chain dimension of a single sample call —
+iid chains — and one batched decode; output ships uint8).  A leader/follower coalescer
+(``_Coalescer``) keeps it lock-simple: the first thread to find no dispatch
+in flight becomes the leader and drains the queue in model-grouped,
+power-of-two-padded batches (bounding compile count) until it is empty;
+followers just wait on their request's event.  Single callers keep
+single-request latency — a batch of one runs the k=1 executable.
 """
 
 from __future__ import annotations
 
 import threading
+import time
 from pathlib import Path
 from typing import Optional
+
+
+class _Request:
+    """One ``serve()`` call waiting for its slice of a fused dispatch."""
+
+    __slots__ = ("group", "sharpen", "event", "result", "error")
+
+    def __init__(self, group: str, sharpen: bool):
+        self.group = group
+        self.sharpen = sharpen
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class _Coalescer:
+    """Leader/follower request batcher.
+
+    ``submit()`` enqueues the request; the first thread in (or any thread
+    arriving once the previous leader has drained the queue and stepped
+    down) becomes the leader and repeatedly: takes every pending request
+    for the head request's group (up to ``max_batch``), runs them through
+    ``run_group`` in one device dispatch, and wakes them — until the queue
+    is empty.  Requests that arrive during a dispatch land in the next
+    one, so per-request latency under concurrency is ≤ ~2 dispatches
+    instead of N serial dispatches.  Leadership is only released under the
+    lock when the queue is empty: no lost wakeups.
+
+    ``window_s``: a short batching window the leader sleeps before EACH
+    drain, letting a concurrent burst land in one dispatch instead of a
+    leader singleton + the rest (the measured split pattern,
+    runs/warm_serving_load.json).  Costs a lone caller ``window_s`` on top
+    of a ~40 ms dispatch — the classic inference-server batching
+    trade-off, kept small by default."""
+
+    def __init__(self, run_group, max_batch: int, window_s: float = 0.005):
+        self._lock = threading.Lock()
+        self._pending: list[_Request] = []
+        self._busy = False
+        self._run_group = run_group
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.dispatches = 0  # fused device dispatches (observability/tests)
+        self.served = 0      # requests completed
+
+    def submit(self, req: _Request):
+        with self._lock:
+            self._pending.append(req)
+            lead = not self._busy
+            if lead:
+                self._busy = True
+        if lead:
+            try:
+                while True:
+                    if self.window_s > 0:
+                        time.sleep(self.window_s)
+                    with self._lock:
+                        if not self._pending:
+                            self._busy = False
+                            break
+                        g = self._pending[0].group
+                        group = [r for r in self._pending if r.group == g]
+                        group = group[: self.max_batch]
+                        for r in group:
+                            self._pending.remove(r)
+                    try:
+                        self._run_group(group)
+                    except BaseException as e:  # surfaced per-request
+                        for r in group:
+                            r.error = e
+                    with self._lock:
+                        self.dispatches += 1
+                        self.served += len(group)
+                    for r in group:
+                        r.event.set()
+            except BaseException:
+                # never strand followers: step down and wake the queue
+                with self._lock:
+                    self._busy = False
+                    stranded, self._pending = self._pending, []
+                for r in stranded:
+                    r.error = r.error or RuntimeError("serving leader died")
+                    r.event.set()
+                raise
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
 
 
 class WarmGenerator:
@@ -44,6 +144,8 @@ class WarmGenerator:
         self.lock = threading.Lock()
         self._trainer = None
         self._key = None  # (resolved model dir, dvae.pth mtime_ns)
+        self._coalescer = _Coalescer(self._run_group, max_batch=16)
+        self._serve_cache = {}  # (trainer key, bucket) → compiled serve fn
 
     def _trainer_for(self, model_path: Path):
         from image_generation_tpu.config import TrainingConfig
@@ -81,3 +183,113 @@ class WarmGenerator:
                 0, gen["grid"], rec["grid"],
                 t.losses["mse_losses"], t.losses["dvae_losses"],
             )
+
+    # ------------------------------------------------------------------
+    # concurrent synchronous serving (request coalescing)
+    # ------------------------------------------------------------------
+    @property
+    def stats(self) -> dict:
+        """Coalescing counters: fused device dispatches vs requests served
+        (dispatches < served ⇔ batching happened)."""
+        c = self._coalescer
+        return {"dispatches": c.dispatches, "served": c.served}
+
+    def serve(self, model_path, sharpen: bool = False) -> dict:
+        """One synchronous generation request, coalescing-aware: returns
+        {'grid', 'images', 'batched'} where ``batched`` is how many
+        concurrent requests shared this request's fused dispatch.  Unlike
+        ``generate`` this writes NO workdir artifacts — it is the
+        concurrent serving surface (server: POST /api/generate_now), so
+        each caller gets its own freshly-keyed sample→decode result."""
+        req = _Request(str(Path(model_path).resolve()), bool(sharpen))
+        return self._coalescer.submit(req)
+
+    def _run_group(self, group) -> None:
+        """Serve ``group`` (same model) through ONE fused device dispatch.
+
+        TPU-native batching: the bucket's requests fold into the CHAIN
+        dimension of a single sample call (Gibbs/PT chains are iid — request
+        i owns reads-chunk i) and one batched decode, so device time is one
+        bigger matmul set, NOT a sequential per-request scan; the result
+        ships uint8 (the figure/PNG precision anyway), 4× less relay
+        traffic than f32 — the two costs the first load test measured as
+        linear-in-N (runs/warm_serving_load.json).  Bucket counts pad to a
+        power of two so compilations stay bounded (1/2/4/8)."""
+        import numpy as np
+
+        from image_generation_tpu.utils.grid import make_grid, sharpen as _sharpen
+
+        with self.lock:  # serialize with the artifact-writing job path
+            t = self._trainer_for(group[0].group)
+            k = len(group)
+            bucket = 1
+            while bucket < k:
+                bucket *= 2
+            fn = self._serve_fn(t, bucket)
+            st = t.state
+            imgs8 = np.asarray(fn(
+                t._next_key(), st.dvae_params, st.batch_stats,
+                st.grbm_params, st.pt_betas,
+            ))  # (bucket, reads, S, S, 1) uint8
+        for i, r in enumerate(group):
+            out = imgs8[i].astype(np.float32) / 255.0
+            if r.sharpen:
+                out = _sharpen(out)
+            r.result = {
+                "grid": make_grid(out, nrow=16),
+                "images": out,
+                "batched": k,
+            }
+
+    def _serve_fn(self, trainer, bucket: int):
+        """Compiled fused serving executable for ``bucket`` requests on the
+        current trainer (cache keyed by the trainer's model key — a model
+        swap recompiles; repeat buckets reuse).
+
+        One sample call draws bucket·NUM_READS iid chains (in PT mode the
+        ladder scales the same way inside ``fns.sample``), one decode runs
+        them all through the MXU together, and the output is quantized to
+        uint8 on device (exactly the 8-bit scale ``figures.imshow_figure``
+        and the PNG renderer quantize to on the host)."""
+        ck = (self._key, bucket)
+        fn = self._serve_cache.get(ck)
+        if fn is not None:
+            return fn
+        jax, jnp = _jax(), _jnp()
+        cfg = trainer.config
+        fns = trainer.fns
+        dvae = fns.dvae
+        reads = cfg.NUM_READS
+        sweeps = cfg.GIBBS_BURN_IN + cfg.GIBBS_SWEEPS
+        pt_mode = cfg.SAMPLER == "pt"
+
+        @jax.jit
+        def serve(key, params, batch_stats, grbm_params, pt_betas):
+            spins = fns.sample(
+                key, grbm_params, bucket * reads, sweeps,
+                betas=pt_betas if pt_mode else None,
+            )  # (bucket·reads, n) — request i owns rows [i·reads, (i+1)·reads)
+            out = dvae.apply(
+                {"params": params, "batch_stats": batch_stats},
+                spins[:, None, :], train=False, method=dvae.decode,
+            )[:, 0]
+            img = jnp.clip(out, 0.0, 1.0)
+            img8 = jnp.round(img * 255.0).astype(jnp.uint8)
+            return img8.reshape(bucket, reads, *img8.shape[1:])
+
+        if len(self._serve_cache) > 16:  # bound across model swaps
+            self._serve_cache.clear()
+        self._serve_cache[ck] = serve
+        return serve
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+def _jnp():
+    import jax.numpy as jnp
+
+    return jnp

@@ -186,6 +186,116 @@ def test_warm_generate(tmp_path):
         srv.shutdown()
 
 
+def test_generate_now_requires_warm(server):
+    """The synchronous coalescing endpoint is a warm-serving surface: with
+    no resident trainer it must refuse rather than fork a subprocess."""
+    srv, port, _ = server
+    status, resp = _post(port, "/api/generate_now", {"model": "whatever"})
+    assert status == 400
+    assert "warm serving disabled" in resp["error"]
+
+
+@pytest.mark.slow
+def test_generate_now_coalesces_concurrent_requests(tmp_path):
+    """POST /api/generate_now: synchronous figure response; N concurrent
+    requests are served through FEWER than N fused device dispatches
+    (app/warm.py _Coalescer), each caller still getting its own
+    freshly-keyed grid; it runs beside the job gate (no job slot used)."""
+    from image_generation_tpu.app.cli import main as cli_main
+    from image_generation_tpu.app.server import make_server
+
+    cli_main([
+        "--workdir", str(tmp_path), "train", "--name", "now_model",
+        "--qpu", "Advantage2_prototype", "--latents", "32",
+        "--dataset-size", "64", "--batch-size", "16", "--sweeps", "2",
+        "--epochs", "1",
+    ])
+    srv = make_server(
+        tmp_path, port=0, warm_generate=True,
+        warm_overrides=dict(
+            DATASET_SIZE=64, BATCH_SIZE=16, GIBBS_SWEEPS=2, NUM_READS=16
+        ),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        # unknown model guard still applies on this endpoint
+        status, _ = _post(port, "/api/generate_now", {"model": "nope"})
+        assert status == 404
+
+        # the training job wrote its own artifacts — snapshot them so we can
+        # assert the serve path adds none (it is read-only on the workdir)
+        gen_dir = tmp_path / "generated_json"
+        before = set(gen_dir.rglob("*")) if gen_dir.exists() else set()
+
+        # single caller: batch of one, synchronous figure back
+        status, resp = _post(port, "/api/generate_now", {"model": "now_model"})
+        assert status == 200
+        assert resp["batched"] == 1
+        fig = resp["figure"]
+        assert fig["data"][0]["type"] == "heatmap"
+        assert fig["data"][0]["zmax"] == 255
+        assert srv.warm.stats == {"dispatches": 1, "served": 1}
+
+        # no artifacts added and no job slot consumed (the job-based flow
+        # owns the workdir files; this surface is read-only on the workdir)
+        after = set(gen_dir.rglob("*")) if gen_dir.exists() else set()
+        assert after == before
+        _, body = _get(port, "/api/state")
+        assert json.loads(body)["job"]["state"] == "idle"
+
+        # concurrent callers coalesce into shared dispatches.  On a loaded
+        # 1-core box the n client threads can serialize completely (each
+        # request finishing before the next even starts), so gate the
+        # FIRST fused dispatch until the other requests are queued — the
+        # in-flight-overlap scenario the coalescer exists for, made
+        # deterministic.
+        n = 5
+        results = [None] * n
+        coal = srv.warm._coalescer
+        orig_run, gate = coal._run_group, threading.Event()
+
+        def gated_run(group):
+            gate.wait(120)
+            orig_run(group)
+
+        coal._run_group = gated_run
+
+        def call(i):
+            results[i] = _post(
+                port, "/api/generate_now", {"model": "now_model"}
+            )
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(n)]
+        for th in threads:
+            th.start()
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                with coal._lock:
+                    if coal._pending:  # followers queued behind the leader
+                        break
+                time.sleep(0.01)
+            else:
+                pytest.fail("no request ever queued behind the leader")
+        finally:
+            gate.set()
+        for th in threads:
+            th.join(timeout=600)
+            assert not th.is_alive()
+        coal._run_group = orig_run
+        assert all(r[0] == 200 for r in results)
+        stats = srv.warm.stats
+        assert stats["served"] == 1 + n
+        assert stats["dispatches"] < 1 + n, (
+            f"no coalescing happened: {stats}"
+        )
+        assert max(r[1]["batched"] for r in results) > 1
+    finally:
+        srv.shutdown()
+
+
 def test_warm_serving_honors_extra_cli(tmp_path):
     """make_server(warm_generate=True) must feed the per-job extra_cli flags
     into the warm trainer's config — /api/generate has to sample the same

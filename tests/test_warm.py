@@ -1,0 +1,155 @@
+"""Warm-serving request coalescing (app/warm.py).
+
+The reference serves each generation as its own background OS process
+(demo_callbacks.py:713-795) — concurrency means N full processes.  The warm
+path's measured gap (BENCHMARKS.md): 45 ms per serial warm request vs
+7.18 ms/request when requests share one fused dispatch.  ``_Coalescer``
+closes it: concurrent ``serve()`` calls are grouped into one device
+dispatch.  These tests pin the batcher's contract (threading only — the
+device side is covered by the server integration test and on-chip runs).
+"""
+
+import threading
+import time
+
+import pytest
+
+from image_generation_tpu.app.warm import _Coalescer, _Request
+
+
+def _fire(coalescer, reqs):
+    """Submit each request from its own thread; return results by index."""
+    results = [None] * len(reqs)
+    errors = [None] * len(reqs)
+
+    def call(i):
+        try:
+            results[i] = coalescer.submit(reqs[i])
+        except BaseException as e:  # noqa: BLE001 — test harness
+            errors[i] = e
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+        assert not t.is_alive(), "coalescer stranded a submitter"
+    return results, errors
+
+
+def test_concurrent_requests_share_dispatches():
+    """N concurrent same-model requests must run in FEWER than N dispatches
+    (the first becomes leader; the rest arrive during its dispatch and are
+    served together in the next one)."""
+    groups_seen = []
+    gate = threading.Event()
+
+    def run_group(group):
+        groups_seen.append(len(group))
+        gate.wait(5)  # hold the first dispatch until all requests queued
+        time.sleep(0.02)
+        for r in group:
+            r.result = {"served_with": len(group)}
+
+    c = _Coalescer(run_group, max_batch=8)
+    reqs = [_Request("model_a", False) for _ in range(6)]
+    t0 = threading.Thread(
+        target=lambda: (time.sleep(0.3), gate.set())
+    )
+    t0.start()
+    results, errors = _fire(c, reqs)
+    t0.join()
+    assert all(e is None for e in errors)
+    assert all(r is not None for r in results)
+    assert c.served == 6
+    # first dispatch takes whoever was queued when the leader grabbed the
+    # queue; everyone else shares the follow-up dispatch(es)
+    assert c.dispatches < 6
+    assert sum(groups_seen) == 6
+    # at least one dispatch actually batched multiple requests
+    assert max(groups_seen) > 1
+
+
+def test_groups_are_not_mixed_and_capped():
+    """Different models never share a dispatch; a dispatch never exceeds
+    max_batch."""
+    seen = []
+
+    def run_group(group):
+        seen.append({r.group for r in group})
+        assert len(group) <= 3
+        for r in group:
+            r.result = r.group
+
+    c = _Coalescer(run_group, max_batch=3)
+    reqs = [_Request("m1" if i % 2 else "m2", False) for i in range(8)]
+    results, errors = _fire(c, reqs)
+    assert all(e is None for e in errors)
+    for group_keys in seen:
+        assert len(group_keys) == 1  # one model per dispatch
+    for req, res in zip(reqs, results):
+        assert res == req.group  # everyone got their own group's result
+
+
+def test_single_request_is_a_batch_of_one():
+    """A lone caller must not wait for peers (serial path preserved)."""
+    def run_group(group):
+        for r in group:
+            r.result = len(group)
+
+    c = _Coalescer(run_group, max_batch=8)
+    out = c.submit(_Request("m", False))
+    assert out == 1
+    assert c.dispatches == 1 and c.served == 1
+
+
+def test_group_failure_surfaces_to_each_request_and_recovers():
+    """A failing dispatch raises in EVERY submitter of that group, and the
+    coalescer keeps serving afterwards."""
+    calls = {"n": 0}
+
+    def run_group(group):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("device fell over")
+        for r in group:
+            r.result = "ok"
+
+    c = _Coalescer(run_group, max_batch=8)
+    with pytest.raises(ValueError, match="device fell over"):
+        c.submit(_Request("m", False))
+    assert c.submit(_Request("m", False)) == "ok"
+
+
+def test_late_arrivals_get_served_by_standing_leader():
+    """Requests that land while the leader is mid-dispatch are drained by
+    that same leader before it steps down (no lost wakeups)."""
+    started = threading.Event()
+    release = threading.Event()
+
+    def run_group(group):
+        started.set()
+        release.wait(5)
+        for r in group:
+            r.result = "ok"
+
+    c = _Coalescer(run_group, max_batch=8)
+    first = threading.Thread(
+        target=lambda: c.submit(_Request("m", False)), daemon=True
+    )
+    first.start()
+    assert started.wait(5)
+    # leader is inside run_group now; this submission must still be served
+    late_result = {}
+
+    def late():
+        late_result["v"] = c.submit(_Request("m", False))
+
+    lt = threading.Thread(target=late, daemon=True)
+    lt.start()
+    time.sleep(0.05)
+    release.set()
+    first.join(timeout=10)
+    lt.join(timeout=10)
+    assert late_result.get("v") == "ok"
+    assert c.served == 2
