@@ -160,6 +160,37 @@ def bench_generate(args, cfg, fns, plan, state, metric_prefix):
     log(f"analytic/request: {per_req / 1e9:.2f} GF → "
         f"{per_req * reps / dt / 1e12:.2f} TFLOP/s scanned")
 
+    # request-BATCHED throughput: K requests fold into the chain dimension
+    # of ONE sample call + one batched decode (iid chains — the shape
+    # app/warm.py's coalescer serves concurrent clients with).  vs the
+    # scanned form above, the sweep matmuls run K× taller (better MXU fill)
+    # and the PT machinery runs once per sweep instead of once per request.
+    k_req = args.serve_batch
+    n_calls = max(reps // k_req, 2)
+
+    @jax.jit
+    def serve_batched(key, params, batch_stats, grbm_params):
+        spins = fns.sample(key, grbm_params, k_req * reads, n_sweeps)
+        imgs = dvae.apply(
+            {"params": params, "batch_stats": batch_stats},
+            spins[:, None, :], train=False, method=dvae.decode,
+        )
+        return jnp.clip(imgs[:, 0], 0.0, 1.0).sum()
+
+    t0 = time.perf_counter()
+    float(serve_batched(jax.random.PRNGKey(5), p, bs, gp))
+    log(f"batched compile+run ({k_req} requests/dispatch): "
+        f"{time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    for i in range(n_calls):  # chained by distinct keys + value fetch each
+        float(serve_batched(jax.random.PRNGKey(10 + i), p, bs, gp))
+    dt_b = time.perf_counter() - t0
+    batched_ms = dt_b / (n_calls * k_req) * 1e3
+    batched_ips = n_calls * k_req * reads / dt_b
+    log(f"{n_calls}×{k_req} batched requests in {dt_b:.3f}s → "
+        f"{batched_ips:,.0f} images/sec ({batched_ms:.2f} ms/request incl. "
+        "dispatch)")
+
     print(json.dumps({
         "metric": f"{metric_prefix}generate_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 1),
@@ -167,6 +198,9 @@ def bench_generate(args, cfg, fns, plan, state, metric_prefix):
         "vs_baseline": None,  # reference = 1 annealer round-trip per request
         "request_latency_ms": round(lat_ms, 2),
         "reads_per_request": reads,
+        "batched_requests_per_dispatch": k_req,
+        "batched_ms_per_request": round(batched_ms, 2),
+        "batched_images_per_sec": round(batched_ips, 1),
     }))
 
 
@@ -187,8 +221,15 @@ def main():
         help="bench the SERVING path instead of training: GRBM sample → "
         "decode (the reference's generate_output, src/model_wrapper.py:"
         "355-399, which costs one annealer cloud round-trip per call). "
-        "Reports a fused scanned-batch throughput (speed of light) and the "
-        "single-request latency incl. host image fetch",
+        "Reports a fused scanned-batch throughput (speed of light), the "
+        "single-request latency incl. host image fetch, and the "
+        "request-BATCHED throughput (requests folded into the chain "
+        "dimension — app/warm.py's coalescer shape)",
+    )
+    ap.add_argument(
+        "--serve-batch", type=int, default=16,
+        help="requests per batched serving dispatch for --generate "
+        "(K·NUM_READS iid chains in one sample call + one batched decode)",
     )
     ap.add_argument(
         "--adam-moment-dtype",
