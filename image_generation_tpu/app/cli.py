@@ -359,6 +359,14 @@ def cmd_tune_pt(args):
     from image_generation_tpu.ops.pt_tune import tune_pt_betas
 
     trainer = _build_trainer(args, for_load=True)
+    if trainer.config.PT_NUM_BETAS == "auto":
+        # tune-pt IS the offline sizing path — never load with an
+        # unresolved 'auto' (beyond-HBM models refuse the init-time probe,
+        # and that error points here): start from the same 16-rung
+        # geometric probe ladder size_ladder uses; the equal-barrier
+        # re-spacing below and the recommended_num_betas it records do the
+        # sizing
+        trainer.config = trainer.config.replace(PT_NUM_BETAS=16)
     model_dir = _model_path(args)
     trainer.load(model_dir)
     cfg = trainer.config

@@ -751,10 +751,13 @@ def make_server(
                     return self._json(
                         {"error": f"{type(e).__name__}: {e}"}, 500
                     )
+                # snapshot BEFORE the figure encode: latency_ms is the serve
+                # (queue + fused dispatch) latency, not the host JSON build
+                lat_ms = (time.perf_counter() - t0) * 1e3
                 return self._json({
                     "figure": imshow_figure(out["grid"]),
                     "batched": out["batched"],
-                    "latency_ms": round((time.perf_counter() - t0) * 1e3, 2),
+                    "latency_ms": round(lat_ms, 2),
                 })
             if self.path in ("/api/generate", "/api/tune", "/api/refresh_model"):
                 model = model_dir(body.get("model", ""))

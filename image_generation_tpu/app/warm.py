@@ -277,8 +277,13 @@ class WarmGenerator:
             img8 = jnp.round(img * 255.0).astype(jnp.uint8)
             return img8.reshape(bucket, reads, *img8.shape[1:])
 
-        if len(self._serve_cache) > 16:  # bound across model swaps
-            self._serve_cache.clear()
+        if len(self._serve_cache) > 16:  # bound across model swaps:
+            # evict only STALE-trainer entries — wiping the live model's
+            # bucket executables would re-pay 60-150 s relay compiles
+            # mid-serving while the coalescer leader holds the lock
+            self._serve_cache = {
+                k: v for k, v in self._serve_cache.items() if k[0] == self._key
+            }
         self._serve_cache[ck] = serve
         return serve
 

@@ -233,7 +233,12 @@ def _xla_update(k, fields, beta_col, row_ids, u_span=None):
     """The default Bernoulli block update: per-(global chain, span) threefry
     uniforms — identical on every graph-axis device and invariant to the
     mesh factorization.  ``update_fn`` replacements (the Pallas hardware-PRNG
-    kernel, ops/gibbs_graph_sharded_pallas.py) must keep both properties."""
+    kernel, ops/gibbs_graph_sharded_pallas.py) MUST keep the graph-axis
+    agreement (each graph shard writes its own column slice of the same
+    update — disagreement corrupts the chain) and chain-shard independence;
+    factorization invariance is a bonus of THIS stream, not a requirement
+    (the kernel's tile seeding varies with the per-shard chain count, a
+    different but equally valid stream per mesh shape)."""
     p_plus = jax.nn.sigmoid(-2.0 * beta_col * fields)
     if u_span is None:
         row_keys = jax.vmap(lambda r: jax.random.fold_in(k, r))(row_ids)

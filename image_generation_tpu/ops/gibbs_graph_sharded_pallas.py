@@ -22,8 +22,12 @@ graph-sharded sweep body calls between its XLA matmul/psum steps:
 The kernel is seeded per (sweep, span) from the sweep key plus the GLOBAL
 chain-tile index (grid over row tiles), so every graph-axis shard draws the
 SAME update for the span (they must: each writes its own column slice of
-it) while chain-axis shards draw independent streams — the same invariants
-the XLA body's keying provides, under a different (hardware) stream.  Both
+it) while chain-axis shards draw independent streams.  Unlike the XLA
+body's per-global-row threefry, the tile size (and so the stream) depends
+on the per-shard chain count: re-running on a different mesh factorization
+samples a DIFFERENT — equally valid — chain of the same model; the
+mandatory invariant (graph-axis agreement) holds on every mesh because
+graph-axis peers share identical (row_ids, c_loc, key).  Both
 are valid Gibbs chains of the same model; on-chip statistical validation
 mirrors the HBM kernel's (scripts/bench_sampler.py --ablate-spans adds the
 measured comparison; tests pin the fed-uniform variant bit-exact against
@@ -52,11 +56,16 @@ from image_generation_tpu.ops.gibbs_pallas_hbm import _uniform_hw
 __all__ = ["make_pallas_update", "xla_stream_uniforms"]
 
 
-def _pick_tile(c_loc: int, cap: int = 256) -> int:
-    """Largest divisor of the per-shard chain count ≤ cap: one grid row
-    tile of the update kernel (tile × span-width f32 buffers stay well
-    under VMEM at any span width build_plan produces)."""
-    t = min(c_loc, cap)
+def _pick_tile(c_loc: int, width: int, cap: int = 256) -> int:
+    """Largest divisor of the per-shard chain count ≤ cap AND ≤ the VMEM
+    row budget for this span width: the kernel holds ~3 (tile, width) f32
+    VMEM buffers (fields, uniforms, out), so the tile shrinks as the span
+    widens — color classes are whole spans (class_spans), and a greedy
+    coloring can put O(n/2) columns in one class, far past any fixed-tile
+    budget at beyond-HBM sizes.  ≥1 always: at tile=1 even a 10^6-wide
+    span is ~12 MB, and real padded graphs stay well under that."""
+    budget_rows = max(1, (2 << 20) // (width * 4))  # ~2 MB per buffer
+    t = max(1, min(c_loc, cap, budget_rows))
     while c_loc % t:
         t -= 1
     return t
@@ -86,7 +95,7 @@ def make_pallas_update(interpret: bool = False):
 
     def update(k, fields, beta_col, row_ids, u_span=None):
         c_loc, width = fields.shape
-        tile = _pick_tile(c_loc)
+        tile = _pick_tile(c_loc, width)
         beta_arr = jnp.broadcast_to(
             jnp.asarray(beta_col, jnp.float32).reshape(-1, 1), (c_loc, 1)
         )

@@ -222,6 +222,15 @@ def make_train_fns(
     use_pallas = cfg.USE_PALLAS == "on" or (
         cfg.USE_PALLAS == "auto" and jax.default_backend() == "tpu"
     )
+    if isinstance(cfg.PT_NUM_BETAS, str):
+        # fail fast with the real cause: 'auto' × NUM_READS below would be
+        # string repetition and die far downstream with a shape error
+        raise ValueError(
+            "PT_NUM_BETAS='auto' must be resolved to a concrete ladder "
+            "before step functions are built — the Trainer does this at "
+            "train_init/load (Trainer._resolve_auto_ladder); direct "
+            "make_train_fns callers must pass an explicit size/PT_BETAS"
+        )
     # VMEM-resident kernel when the coupling matrix fits on-chip; the
     # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins).
     # PT mode flattens the ladder, so the effective chain count is T·C.

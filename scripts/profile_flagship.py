@@ -32,10 +32,10 @@ import argparse
 import contextlib
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))  # repo root
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import jax
 import jax.numpy as jnp
@@ -147,49 +147,6 @@ def _variants():
     ]
 
 
-def time_config(cfg, graph, steps: int, reps: int, label: str) -> dict:
-    from image_generation_tpu.training.step import make_train_fns
-    from image_generation_tpu.utils.data import permuted_epoch
-
-    fns = make_train_fns(cfg, graph, total_steps=steps * (reps + 2))
-    key = jax.random.PRNGKey(0)
-    dataset = jnp.round(
-        jax.random.uniform(
-            key, (steps * cfg.BATCH_SIZE, cfg.IMAGE_SIZE, cfg.IMAGE_SIZE, 1)
-        )
-    ).astype(jnp.float32)
-
-    t0 = time.perf_counter()
-    state = fns.init(key, dataset[:1])
-    jax.block_until_ready(state.chains)
-    t_init = time.perf_counter() - t0
-
-    batches = permuted_epoch(dataset, cfg.BATCH_SIZE, key)
-    t0 = time.perf_counter()
-    state, _ = fns.epoch(state, batches, jnp.asarray(0))
-    jax.block_until_ready(jax.tree.leaves(state))
-    t_compile = time.perf_counter() - t0
-
-    # untimed chained call with value-fetch sync (relay discipline)
-    state, m0 = fns.epoch(state, batches, jnp.asarray(1))
-    _ = float(m0.mse[-1])
-
-    t0 = time.perf_counter()
-    for r in range(reps):
-        batches = permuted_epoch(
-            dataset, cfg.BATCH_SIZE, jax.random.PRNGKey(10 + r)
-        )
-        state, metrics = fns.epoch(state, batches, jnp.asarray(2 + r))
-    _ = float(metrics.mse[-1])
-    dt = time.perf_counter() - t0
-    ms_per_step = dt / (reps * steps) * 1e3
-    log(
-        f"{label:44s} {ms_per_step:7.3f} ms/step "
-        f"(init {t_init:.1f}s, compile {t_compile:.1f}s)"
-    )
-    return {"label": label, "ms_per_step": round(ms_per_step, 3)}
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=128)
@@ -203,6 +160,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+
+    from profile_scaled import time_config  # one copy of the relay timing discipline
 
     from image_generation_tpu.config import TrainingConfig
     from image_generation_tpu.utils.graph_cache import cached_latent_graph

@@ -222,3 +222,15 @@ def test_cli_tune_pt_roundtrip(tmp_path):
         (tmp_path / "generated_json" / "generated_epoch_0.json").read_text()
     )
     assert gen  # decoded grid written
+
+    # PT_NUM_BETAS='auto' must NOT dead-end tune-pt (the auto resolver's
+    # beyond-HBM error message points users here): the CLI swaps 'auto'
+    # for the 16-rung geometric probe before load and the output records
+    # the equal-barrier rung-count recommendation
+    cli_main([
+        "--workdir", str(tmp_path), "tune-pt", "--model", "ptm",
+        "--iters", "1", "--chains", "32", "--pt-num-betas", "auto",
+    ])
+    meta2 = json.loads(out.read_text())
+    assert len(meta2["betas"]) == 16
+    assert meta2["recommended_num_betas"] >= 2

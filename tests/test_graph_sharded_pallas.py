@@ -107,6 +107,25 @@ def test_pallas_update_bitexact_block_sparse(medium):
     )
 
 
+def test_pick_tile_respects_vmem_budget():
+    """The update kernel's row tile must shrink as the span widens: a
+    greedy coloring can put O(n/2) columns in ONE class span at beyond-HBM
+    sizes, and a fixed 256-row tile would blow VMEM (3 × tile × width f32
+    buffers).  Always ≥ 1, always a divisor of the chain count, ≤ 256."""
+    from image_generation_tpu.ops.gibbs_graph_sharded_pallas import _pick_tile
+
+    assert _pick_tile(512, width=128) == 256          # narrow span: cap wins
+    assert _pick_tile(96, width=128) == 96            # tile ≤ c_loc
+    # 3 buffers × tile × width × 4 B must stay ~≤ 6 MB
+    for c_loc in (256, 384, 2048):
+        for width in (128, 2000, 16384, 120000):
+            t = _pick_tile(c_loc, width)
+            assert t >= 1 and c_loc % t == 0
+            assert 3 * t * width * 4 <= 6 << 20, (c_loc, width, t)
+    # the motivating case: a 16k-wide class span → tile ≤ 32 rows
+    assert _pick_tile(2048, width=16384) <= 32
+
+
 def test_step_selects_pallas_update_on_request(medium):
     """make_train_fns: GRAPH_SHARDED + USE_PALLAS='on' now advertises the
     composed path instead of silently dropping to the XLA update

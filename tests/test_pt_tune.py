@@ -237,6 +237,22 @@ def test_config_pt_num_betas_auto():
         TrainingConfig(PT_NUM_BETAS=1)
 
 
+def test_make_train_fns_rejects_unresolved_auto():
+    """Step-function builders must fail FAST on an unresolved 'auto'
+    (PT_NUM_BETAS * NUM_READS would be string repetition and die far
+    downstream with an opaque shape error)."""
+    from image_generation_tpu.training.step import make_train_fns
+
+    g, _ = select_latent_graph(chimera_graph(1, 1, 4), 8, 3)
+    graph = GRBMGraph.from_networkx(g)
+    cfg = TrainingConfig(
+        N_LATENTS=graph.n, NUM_READS=8, BATCH_SIZE=8, DATASET_SIZE=16,
+        SAMPLER="pt", PT_NUM_BETAS="auto",
+    )
+    with pytest.raises(ValueError, match="resolved"):
+        make_train_fns(cfg, graph, 4, build_plan(graph))
+
+
 def test_trainer_resolves_auto_ladder():
     """Trainer(SAMPLER='pt', PT_NUM_BETAS='auto'): train_init probes the
     initial model, freezes a concrete ladder into the config, builds chains
