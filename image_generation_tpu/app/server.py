@@ -830,7 +830,14 @@ def make_server(
                 _topo_cache[ck] = fig
         return fig
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of concurrent
+        # /api/generate_now clients (the coalescer exists for exactly that)
+        # overflows it and later connects get RST.  64 covers any burst the
+        # coalescer's max_batch can drain in a couple of dispatches.
+        request_queue_size = 64
+
+    server = _Server((host, port), Handler)
     server.jobs = jobs  # for tests/embedding
     server.warm = warm
     return server
