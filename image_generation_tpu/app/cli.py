@@ -550,6 +550,18 @@ def build_parser():
         "--sampler pt; zero recompilation, zero extra sampling)",
     )
     common.add_argument(
+        "--serve-max-batch", type=int, default=16,
+        help="warm serving: max concurrent requests folded into one fused "
+        "sample→decode dispatch (app/warm.py coalescer; powers of two "
+        "bound the compile count)",
+    )
+    common.add_argument(
+        "--serve-window-ms", type=float, default=5.0,
+        help="warm serving: batching window the coalescer leader waits "
+        "before each drain so a concurrent burst lands in one dispatch "
+        "(costs a lone caller this much extra latency; 0 disables)",
+    )
+    common.add_argument(
         "--progress-chunks", type=int, default=4,
         help="scan chunks per epoch for batch-granular progress (1 = one "
         "dispatch per epoch, max throughput; N adds N-1 extra dispatches)",

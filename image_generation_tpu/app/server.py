@@ -38,6 +38,7 @@ import subprocess
 import sys
 import threading
 import time
+import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from urllib.parse import urlparse
@@ -544,6 +545,8 @@ def make_server(
         warm = WarmGenerator(
             workdir, config_overrides=overrides, params=sargs.params,
             mesh=parse_mesh(sargs.mesh),
+            serve_max_batch=sargs.serve_max_batch,
+            serve_window_ms=sargs.serve_window_ms,
         )
 
     def model_dir(name) -> Path | None:
@@ -747,9 +750,13 @@ def make_server(
                 t0 = time.perf_counter()
                 try:
                     out = warm.serve(model, sharpen=bool(body.get("sharpen")))
-                except Exception as e:
+                except Exception:
+                    # full trace server-side only: exception text can leak
+                    # filesystem paths/internal state to clients when the
+                    # server is exposed via --host
+                    traceback.print_exc()
                     return self._json(
-                        {"error": f"{type(e).__name__}: {e}"}, 500
+                        {"error": "generation failed (see server log)"}, 500
                     )
                 # snapshot BEFORE the figure encode: latency_ms is the serve
                 # (queue + fused dispatch) latency, not the host JSON build
@@ -860,9 +867,13 @@ def main(argv=None):
         "compiled sample→decode stay resident between requests) instead of "
         "a per-request CLI subprocess",
     )
-    args = ap.parse_args(argv)
+    # unknown flags pass through to every job subprocess AND the warm
+    # serving trainer (parse_serving_args): e.g.
+    #   python app.py --warm-generate --sampler-matmul-dtype int8 \
+    #                 --serve-max-batch 32
+    args, extra = ap.parse_known_args(argv)
     server = make_server(
-        args.workdir, args.port, host=args.host,
+        args.workdir, args.port, extra_cli=extra, host=args.host,
         warm_generate=args.warm_generate,
     )
     print(f"serving on http://{args.host}:{args.port} (workdir={args.workdir})")

@@ -27,9 +27,14 @@ bucket's requests fold into the chain dimension of a single sample call —
 iid chains — and one batched decode; output ships uint8).  A leader/follower coalescer
 (``_Coalescer``) keeps it lock-simple: the first thread to find no dispatch
 in flight becomes the leader and drains the queue in model-grouped,
-power-of-two-padded batches (bounding compile count) until it is empty;
-followers just wait on their request's event.  Single callers keep
-single-request latency — a batch of one runs the k=1 executable.
+power-of-two-padded batches (bounding compile count); once the leader's own
+request is served it hands leadership to a waiting follower (bounded leader
+latency under a sustained arrival stream).  Per-request host
+post-processing (uint8→f32, sharpen, grid assembly) runs in EACH caller's
+own thread after its slice lands — the leader does only the shared device
+dispatch, so follower work parallelizes on multi-core hosts.  Single
+callers keep single-request latency — a batch of one runs the k=1
+executable.
 """
 
 from __future__ import annotations
@@ -43,12 +48,12 @@ from typing import Optional
 class _Request:
     """One ``serve()`` call waiting for its slice of a fused dispatch."""
 
-    __slots__ = ("group", "sharpen", "event", "result", "error")
+    __slots__ = ("group", "sharpen", "done", "result", "error")
 
     def __init__(self, group: str, sharpen: bool):
         self.group = group
         self.sharpen = sharpen
-        self.event = threading.Event()
+        self.done = False
         self.result = None
         self.error = None
 
@@ -56,15 +61,19 @@ class _Request:
 class _Coalescer:
     """Leader/follower request batcher.
 
-    ``submit()`` enqueues the request; the first thread in (or any thread
-    arriving once the previous leader has drained the queue and stepped
-    down) becomes the leader and repeatedly: takes every pending request
+    ``submit()`` enqueues the request; the first thread to find no leader
+    in place becomes the leader and repeatedly: takes every pending request
     for the head request's group (up to ``max_batch``), runs them through
-    ``run_group`` in one device dispatch, and wakes them — until the queue
-    is empty.  Requests that arrive during a dispatch land in the next
-    one, so per-request latency under concurrency is ≤ ~2 dispatches
-    instead of N serial dispatches.  Leadership is only released under the
-    lock when the queue is empty: no lost wakeups.
+    ``run_group`` in one device dispatch, and wakes them — until its OWN
+    request is served, at which point it steps down and (if a queue
+    remains) wakes a waiting follower to take over leadership.  The
+    handoff bounds every request's latency to ~the dispatches until its
+    own group runs — under an open-loop sustained arrival stream the old
+    drain-until-empty leader's latency was unbounded even though its
+    result was ready.  Requests that arrive during a dispatch land in the
+    next one, so per-request latency under concurrency is ≤ ~2 dispatches
+    instead of N serial dispatches.  All queue state lives under one
+    condition variable: no lost wakeups.
 
     ``window_s``: a short batching window the leader sleeps before EACH
     drain, letting a concurrent burst land in one dispatch instead of a
@@ -74,7 +83,7 @@ class _Coalescer:
     trade-off, kept small by default."""
 
     def __init__(self, run_group, max_batch: int, window_s: float = 0.005):
-        self._lock = threading.Lock()
+        self._cv = threading.Condition()
         self._pending: list[_Request] = []
         self._busy = False
         self._run_group = run_group
@@ -84,59 +93,82 @@ class _Coalescer:
         self.served = 0      # requests completed
 
     def submit(self, req: _Request):
-        with self._lock:
+        lead = False
+        with self._cv:
             self._pending.append(req)
-            lead = not self._busy
-            if lead:
-                self._busy = True
+            # follower: wait until served, or until leadership frees up
+            while not req.done and self._busy:
+                self._cv.wait()
+            if not req.done:
+                self._busy = lead = True
         if lead:
-            try:
-                while True:
-                    if self.window_s > 0:
-                        time.sleep(self.window_s)
-                    with self._lock:
-                        if not self._pending:
-                            self._busy = False
-                            break
-                        g = self._pending[0].group
-                        group = [r for r in self._pending if r.group == g]
-                        group = group[: self.max_batch]
-                        for r in group:
-                            self._pending.remove(r)
-                    try:
-                        self._run_group(group)
-                    except BaseException as e:  # surfaced per-request
-                        for r in group:
-                            r.error = e
-                    with self._lock:
-                        self.dispatches += 1
-                        self.served += len(group)
-                    for r in group:
-                        r.event.set()
-            except BaseException:
-                # never strand followers: step down and wake the queue
-                with self._lock:
-                    self._busy = False
-                    stranded, self._pending = self._pending, []
-                for r in stranded:
-                    r.error = r.error or RuntimeError("serving leader died")
-                    r.event.set()
-                raise
-        req.event.wait()
+            self._lead(req)
         if req.error is not None:
             raise req.error
         return req.result
 
+    def _lead(self, own: _Request):
+        """Dispatch groups until ``own`` is served, then hand off."""
+        group: list[_Request] = []
+        try:
+            while True:
+                with self._cv:
+                    if own.done:
+                        # own request served: step down; wake a waiting
+                        # follower to lead whatever queue remains
+                        self._busy = False
+                        if self._pending:
+                            self._cv.notify_all()
+                        return
+                if self.window_s > 0:
+                    time.sleep(self.window_s)
+                with self._cv:
+                    # own ∉ done ⇒ own ∈ pending (we are the only dispatcher)
+                    g = self._pending[0].group
+                    group = [r for r in self._pending if r.group == g]
+                    group = group[: self.max_batch]
+                    for r in group:
+                        self._pending.remove(r)
+                try:
+                    self._run_group(group)
+                except Exception as e:  # surfaced per-request;
+                    # KeyboardInterrupt/SystemExit fall through to the
+                    # stranded-follower handler below and propagate
+                    for r in group:
+                        r.error = e
+                with self._cv:
+                    self.dispatches += 1
+                    self.served += len(group)
+                    for r in group:
+                        r.done = True
+                    self._cv.notify_all()
+        except BaseException:
+            # never strand followers: step down and wake the queue — the
+            # in-flight group too (its members already left pending)
+            with self._cv:
+                self._busy = False
+                stranded, self._pending = self._pending, []
+                for r in stranded + [r for r in group if not r.done]:
+                    r.error = r.error or RuntimeError("serving leader died")
+                    r.done = True
+                self._cv.notify_all()
+            raise
+
 
 class WarmGenerator:
     def __init__(self, workdir, config_overrides: Optional[dict] = None,
-                 mesh="auto", params=None):
+                 mesh="auto", params=None, serve_max_batch: int = 16,
+                 serve_window_ms: float = 5.0):
         """``config_overrides``: TrainingConfig field overrides for the
         serving trainer (tests pass tiny DATASET_SIZE/BATCH_SIZE; the
         model's own parameters.json still decides N_LATENTS/QPU at load).
         ``mesh``: Trainer mesh control — "auto" matches the CLI default.
         ``params``: optional training-parameters YAML path (the CLI's
-        ``--params``), applied under the overrides like _build_trainer."""
+        ``--params``), applied under the overrides like _build_trainer.
+        ``serve_max_batch`` / ``serve_window_ms``: coalescer knobs (CLI
+        ``--serve-max-batch`` / ``--serve-window-ms``) — the max requests
+        folded into one fused dispatch, and the batching window the leader
+        waits before each drain."""
         self.workdir = Path(workdir)
         self.config_overrides = dict(config_overrides or {})
         self.mesh = mesh
@@ -144,7 +176,10 @@ class WarmGenerator:
         self.lock = threading.Lock()
         self._trainer = None
         self._key = None  # (resolved model dir, dvae.pth mtime_ns)
-        self._coalescer = _Coalescer(self._run_group, max_batch=16)
+        self._coalescer = _Coalescer(
+            self._run_group, max_batch=serve_max_batch,
+            window_s=serve_window_ms / 1e3,
+        )
         self._serve_cache = {}  # (trainer key, bucket) → compiled serve fn
 
     def _trainer_for(self, model_path: Path):
@@ -200,9 +235,24 @@ class WarmGenerator:
         concurrent requests shared this request's fused dispatch.  Unlike
         ``generate`` this writes NO workdir artifacts — it is the
         concurrent serving surface (server: POST /api/generate_now), so
-        each caller gets its own freshly-keyed sample→decode result."""
+        each caller gets its own freshly-keyed sample→decode result.
+
+        The coalescer returns the raw uint8 device slice; the f32
+        conversion, optional sharpen, and grid assembly run HERE — in the
+        requesting thread — so per-request host post-processing
+        parallelizes across caller threads instead of serializing on the
+        leader (moot on a 1-core box, real on any multi-core server)."""
+        import numpy as np
+
+        from image_generation_tpu.utils.grid import make_grid, sharpen as _sharpen
+
         req = _Request(str(Path(model_path).resolve()), bool(sharpen))
-        return self._coalescer.submit(req)
+        imgs8, batched = self._coalescer.submit(req)
+        out = imgs8.astype(np.float32) / 255.0
+        if sharpen:
+            out = _sharpen(out)
+        return {"grid": make_grid(out, nrow=16), "images": out,
+                "batched": batched}
 
     def _run_group(self, group) -> None:
         """Serve ``group`` (same model) through ONE fused device dispatch.
@@ -214,10 +264,13 @@ class WarmGenerator:
         ships uint8 (the figure/PNG precision anyway), 4× less relay
         traffic than f32 — the two costs the first load test measured as
         linear-in-N (runs/warm_serving_load.json).  Bucket counts pad to a
-        power of two so compilations stay bounded (1/2/4/8)."""
-        import numpy as np
+        power of two so compilations stay bounded (1/2/4/8).
 
-        from image_generation_tpu.utils.grid import make_grid, sharpen as _sharpen
+        Each request's ``result`` is its RAW (reads, S, S, 1) uint8 slice
+        plus the batch count — the per-request f32/sharpen/grid host work
+        happens in the requester's own thread (``serve``), not here on the
+        leader."""
+        import numpy as np
 
         with self.lock:  # serialize with the artifact-writing job path
             t = self._trainer_for(group[0].group)
@@ -232,14 +285,7 @@ class WarmGenerator:
                 st.grbm_params, st.pt_betas,
             ))  # (bucket, reads, S, S, 1) uint8
         for i, r in enumerate(group):
-            out = imgs8[i].astype(np.float32) / 255.0
-            if r.sharpen:
-                out = _sharpen(out)
-            r.result = {
-                "grid": make_grid(out, nrow=16),
-                "images": out,
-                "batched": k,
-            }
+            r.result = (imgs8[i], k)
 
     def _serve_fn(self, trainer, bucket: int):
         """Compiled fused serving executable for ``bucket`` requests on the

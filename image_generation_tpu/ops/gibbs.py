@@ -43,7 +43,7 @@ replica exchange for stiff models.
 
 from __future__ import annotations
 
-import functools
+import weakref
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -110,7 +110,13 @@ class GibbsPlan:
         return len(self.blocks)
 
 
-@functools.lru_cache(maxsize=None)
+# weak-keyed: an lru_cache here would pin every plan (and its numpy arrays)
+# for process lifetime — unbounded growth in a warm server that swaps models
+_class_spans_cache: "weakref.WeakKeyDictionary[GibbsPlan, tuple]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def class_spans(plan: "GibbsPlan") -> tuple:
     """Maximal runs of consecutive blocks from the same color class, as
     (start, padded_stop, first_block, stop_block) tuples.
@@ -129,20 +135,26 @@ def class_spans(plan: "GibbsPlan") -> tuple:
     Plans without ``block_class`` (hand-built in tests) degrade to one span
     per block — the exact pre-span iteration order and RNG stream.
     """
+    cached = _class_spans_cache.get(plan)
+    if cached is not None:
+        return cached
     bc = plan.block_class
     if bc is None:
-        return tuple(
+        spans = tuple(
             (s, e, i, i + 1) for i, (s, _v, e) in enumerate(plan.blocks)
         )
-    spans = []
-    i, nb = 0, len(plan.blocks)
-    while i < nb:
-        j = i
-        while j + 1 < nb and bc[j + 1] == bc[i]:
-            j += 1
-        spans.append((plan.blocks[i][0], plan.blocks[j][2], i, j + 1))
-        i = j + 1
-    return tuple(spans)
+    else:
+        spans = []
+        i, nb = 0, len(plan.blocks)
+        while i < nb:
+            j = i
+            while j + 1 < nb and bc[j + 1] == bc[i]:
+                j += 1
+            spans.append((plan.blocks[i][0], plan.blocks[j][2], i, j + 1))
+            i = j + 1
+        spans = tuple(spans)
+    _class_spans_cache[plan] = spans
+    return spans
 
 
 def _round_up(x: int, m: int) -> int:

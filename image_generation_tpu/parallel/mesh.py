@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -112,7 +113,7 @@ def _shard_large_dense(tree, mesh: Mesh, min_elems: int):
 
 def shard_train_state(
     state, mesh: Mesh, dense_min_elems: int = 1 << 23,
-    graph_sharded: bool = False,
+    graph_sharded: bool = False, copy: bool = False,
 ):
     """Place a TrainState on the mesh: chains row-sharded over ``chain``
     (and ``data``, jointly, when chains are plentiful), outsized dense
@@ -136,8 +137,14 @@ def shard_train_state(
     input buffers rather than copying — deliberate, so entering mesh mode
     never copies the multi-GB scaled state.  Consequence: after passing the
     sharded state to the donating ``epoch()``, the original unsharded state
-    is dead too; copy (``jax.tree.map(jnp.array, state)``) first if you need
-    to keep it."""
+    is dead too (later use raises jax's "Array has been deleted").  Pass
+    ``copy=True`` if the input state must survive a later ``epoch()`` call:
+    every leaf is device-copied first (``jnp.array`` preserves each leaf's
+    existing sharding — an already-row-sharded coupling is copied in place,
+    never gathered), so the returned state shares no buffers with the
+    input."""
+    if copy:
+        state = jax.tree.map(jnp.array, state)
     rows = int(state.chains.shape[0])
     if graph_sharded:
         # place the partitioned leaves FIRST, and replicate only the rest:

@@ -273,7 +273,7 @@ def test_generate_now_coalesces_concurrent_requests(tmp_path):
         try:
             deadline = time.time() + 120
             while time.time() < deadline:
-                with coal._lock:
+                with coal._cv:
                     if coal._pending:  # followers queued behind the leader
                         break
                 time.sleep(0.01)

@@ -122,8 +122,8 @@ def test_group_failure_surfaces_to_each_request_and_recovers():
 
 
 def test_late_arrivals_get_served_by_standing_leader():
-    """Requests that land while the leader is mid-dispatch are drained by
-    that same leader before it steps down (no lost wakeups)."""
+    """Requests that land while the leader is mid-dispatch are still served
+    (by the same leader or a handoff successor — no lost wakeups)."""
     started = threading.Event()
     release = threading.Event()
 
@@ -152,4 +152,55 @@ def test_late_arrivals_get_served_by_standing_leader():
     first.join(timeout=10)
     lt.join(timeout=10)
     assert late_result.get("v") == "ok"
+    assert c.served == 2
+
+
+def test_leader_hands_off_after_own_request_served():
+    """Once the leader's own request is served it returns immediately and a
+    waiting follower takes over leadership — under a sustained open-loop
+    arrival stream the leader's latency must not grow with the queue."""
+    gates = [threading.Event() for _ in range(4)]
+    started = [threading.Event() for _ in range(4)]
+    count = {"n": 0}
+    dispatchers = []
+
+    def run_group(group):
+        i = count["n"]
+        count["n"] += 1
+        dispatchers.append(threading.current_thread())
+        started[i].set()
+        gates[i].wait(5)
+        for r in group:
+            r.result = "ok"
+
+    c = _Coalescer(run_group, max_batch=1, window_s=0)
+    results = {}
+    ta = threading.Thread(
+        target=lambda: results.__setitem__("a", c.submit(_Request("m", False))),
+        daemon=True,
+    )
+    ta.start()
+    assert started[0].wait(5)  # leader A is mid-dispatch with its own request
+    tb = threading.Thread(
+        target=lambda: results.__setitem__("b", c.submit(_Request("m", False))),
+        daemon=True,
+    )
+    tb.start()
+    for _ in range(500):  # wait until B is queued behind A's dispatch
+        with c._cv:
+            if c._pending:
+                break
+        time.sleep(0.005)
+    else:
+        raise AssertionError("follower never queued")
+    gates[0].set()  # A's own dispatch completes; B is still pending
+    ta.join(timeout=5)
+    assert not ta.is_alive(), "leader did not return once its request was done"
+    assert results["a"] == "ok"
+    assert tb.is_alive()  # follower's dispatch is gated — not served yet
+    assert started[1].wait(5)
+    assert dispatchers[1] is tb, "waiting follower did not take over leadership"
+    gates[1].set()
+    tb.join(timeout=5)
+    assert results["b"] == "ok"
     assert c.served == 2
