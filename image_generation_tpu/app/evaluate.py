@@ -1,4 +1,4 @@
-"""Checkpoint evaluation: recon-MSE and latent-MMD for saved models.
+"""Checkpoint evaluation: recon-MSE, latent-MMD and IMAGE-space MMD.
 
 Driver config #4 (BASELINE.json): load each saved checkpoint (including the
 six reference-shipped ``models/Advantage*`` directories), reconstruct data
@@ -11,10 +11,29 @@ through the DVAE, sample the GRBM, and report
   * ``latent_mmd``      — the training MMD between encoded data spins and
                           sampler spins (the distribution-alignment metric,
                           reference src/model_wrapper.py:318-320);
-  * ``sample_energy``   — mean scaled-model energy of the generated spins.
+  * ``sample_energy``   — mean scaled-model energy of the generated spins;
+  * ``image_mmd``       — MMD² between DECODED generated images and
+                          held-out data images: a number on the quality of
+                          the model's actual product output (the generated
+                          image grid, reference src/model_wrapper.py:355-399
+                          — which the reference never metricizes).  Reported
+                          with its same-distribution floor
+                          (``image_mmd_floor``: two disjoint data batches —
+                          the estimator's noise level at this sample size)
+                          and a scale reference (``image_mmd_noise``:
+                          uniform noise vs data — NOT a ceiling: a tightly
+                          clustered wrong generator scores above it, because
+                          the V-statistic grows with the generator's
+                          self-similarity).  Quality ≈ how close image_mmd
+                          sits to the floor; cross-model comparisons are
+                          valid on the SAME data pool.
 
 Baselines to compare against (reference 40-epoch checkpoints): last-epoch
-mean train MSE ≈ 0.0645 (BASELINE.md).
+mean train MSE ≈ 0.0645 (BASELINE.md).  The image-MMD column fills
+BASELINE.md's "Generated-sample MMD parity" row: the reference checkpoints'
+values ARE the parity bar for ours (measured against the same data pool —
+with the offline sklearn-digits fallback this is a proxy bar; it flips to
+the real MNIST bar automatically when IDX files exist, utils/data.py).
 
 Usage:
   python -m image_generation_tpu.app.evaluate --models /root/reference/models
@@ -25,10 +44,77 @@ from __future__ import annotations
 import argparse
 import json
 from pathlib import Path
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def image_space_metrics(
+    trainer, num_reads: int = 256, n_rounds: int = 4, seed: int = 1
+) -> dict:
+    """Image-space generation quality for a loaded/trained ``Trainer``.
+
+    ``n_rounds`` independent rounds of: sample ``num_reads`` GRBM spins
+    (fresh chains, fresh key — the serving math: the same sample→decode
+    pair ``app/warm.py`` fuses, NOT the persistent deque, whose reservoir
+    semantics would correlate rounds), decode them (eval mode), and measure
+    the biased MMD² (``ops/mmd.py``, the reference's GaussianKernel(7)
+    mixture with its data-adaptive bandwidth) against a held-out data batch
+    of the same size.  Each round also measures
+
+      * the same-distribution FLOOR: MMD²(data half A, data half B) over
+        disjoint batches — nonzero only by estimator noise at this N;
+      * a NOISE reference point: MMD²(uniform noise images, data).  Not an
+        upper bound — the biased V-statistic rewards spread, so a
+        collapsed-but-wrong generator can score ABOVE uniform noise
+        (measured: the MNIST-trained reference checkpoints score ~3.2 vs
+        the sklearn proxy pool while noise scores ~1.4).
+
+    Returns means/stds over rounds.  Needs ≥ 2·num_reads data images."""
+    import numpy as np
+
+    from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
+
+    kern = GaussianKernel(7)
+    dvae = trainer.fns.dvae
+    variables = {
+        "params": trainer.state.dvae_params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    data = np.asarray(trainer.images, dtype=np.float32)
+    flat = data.reshape(data.shape[0], -1)
+    if flat.shape[0] < 2 * num_reads:
+        raise ValueError(
+            f"image_space_metrics needs >= {2 * num_reads} data images for "
+            f"disjoint floor batches, have {flat.shape[0]}"
+        )
+    rng = np.random.default_rng(seed)
+    gen_v, floor_v, noise_v = [], [], []
+    for _ in range(n_rounds):
+        idx = rng.permutation(flat.shape[0])
+        a = jnp.asarray(flat[idx[:num_reads]])
+        b = jnp.asarray(flat[idx[num_reads : 2 * num_reads]])
+        spins = trainer.sample_spins(num_reads)
+        imgs = dvae.apply(
+            variables, spins[:, None, :], train=False, method=dvae.decode
+        )[:, 0]
+        g = jnp.clip(imgs, 0.0, 1.0).reshape(num_reads, -1)
+        gen_v.append(float(mmd_loss(g, a, kern)))
+        floor_v.append(float(mmd_loss(b, a, kern)))
+        noise = jnp.asarray(
+            rng.random((num_reads, flat.shape[1]), dtype=np.float32)
+        )
+        noise_v.append(float(mmd_loss(noise, a, kern)))
+    return {
+        "image_mmd": round(float(np.mean(gen_v)), 5),
+        "image_mmd_std": round(float(np.std(gen_v)), 5),
+        "image_mmd_floor": round(float(np.mean(floor_v)), 5),
+        "image_mmd_floor_std": round(float(np.std(floor_v)), 5),
+        "image_mmd_noise": round(float(np.mean(noise_v)), 5),
+        "image_rounds": n_rounds,
+    }
 
 
 def evaluate_checkpoint(
@@ -37,12 +123,17 @@ def evaluate_checkpoint(
     num_reads: int = 256,
     batch_size: int = 256,
     seed: int = 0,
+    image_rounds: int = 4,
+    config_overrides: Optional[dict] = None,
 ) -> dict:
     from image_generation_tpu.config import TrainingConfig
     from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
     from image_generation_tpu.training.trainer import Trainer
 
-    cfg = TrainingConfig(DATASET_SIZE=dataset_size, BATCH_SIZE=batch_size)
+    cfg = TrainingConfig(
+        DATASET_SIZE=dataset_size, BATCH_SIZE=batch_size,
+        **(config_overrides or {}),
+    )
     trainer = Trainer(config=cfg)
     trainer.load(model_dir)
     key = jax.random.PRNGKey(seed)
@@ -91,7 +182,7 @@ def evaluate_checkpoint(
     samples = jnp.asarray(sample_set.spins)
     mmd = float(mmd_loss(data_spins[: 4 * num_reads], samples, GaussianKernel(7)))
     e = sample_set.energies
-    return {
+    out = {
         "model": str(Path(model_dir).name),
         "n_latents": trainer.n_latents,
         "n_edges": trainer.graph.n_edges,
@@ -100,14 +191,34 @@ def evaluate_checkpoint(
         "latent_mmd": round(mmd, 5),
         "sample_energy_mean": round(float(np.mean(e)), 4),
         "data_source": trainer.data_source.origin,
+        "sampler_matmul_dtype": trainer.config.SAMPLER_MATMUL_DTYPE,
     }
+    if image_rounds > 0:
+        out.update(
+            image_space_metrics(trainer, num_reads, image_rounds, seed + 1)
+        )
+    return out
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--models", default="/root/reference/models")
+    ap.add_argument(
+        "--models", action="append", default=None,
+        help="checkpoint root(s) — repeatable; every subdirectory holding a "
+        "dvae.pth is evaluated (default: /root/reference/models)",
+    )
     ap.add_argument("--dataset-size", type=int, default=2048)
     ap.add_argument("--num-reads", type=int, default=256)
+    ap.add_argument(
+        "--image-rounds", type=int, default=4,
+        help="sampling rounds for the image-space MMD (0 disables)",
+    )
+    ap.add_argument(
+        "--sampler-matmul-dtype", default=None,
+        choices=("auto", "float32", "bfloat16", "int8"),
+        help="SAMPLER_MATMUL_DTYPE override for every evaluation — the "
+        "serving-quality A/B knob (int8 = the quantized sampler)",
+    )
     ap.add_argument("--out", default=None, help="write JSON results here")
     ap.add_argument(
         "--platform", default=None,
@@ -117,14 +228,24 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    overrides = (
+        {"SAMPLER_MATMUL_DTYPE": args.sampler_matmul_dtype}
+        if args.sampler_matmul_dtype
+        else None
+    )
 
     results = []
-    root = Path(args.models)
-    dirs = sorted(d for d in root.iterdir() if (d / "dvae.pth").exists())
-    for d in dirs:
-        r = evaluate_checkpoint(d, args.dataset_size, args.num_reads)
-        results.append(r)
-        print(json.dumps(r), flush=True)
+    for root in args.models or ["/root/reference/models"]:
+        root = Path(root)
+        dirs = sorted(d for d in root.iterdir() if (d / "dvae.pth").exists())
+        for d in dirs:
+            r = evaluate_checkpoint(
+                d, args.dataset_size, args.num_reads,
+                image_rounds=args.image_rounds,
+                config_overrides=overrides,
+            )
+            results.append(r)
+            print(json.dumps(r), flush=True)
     if args.out:
         Path(args.out).write_text(json.dumps(results, indent=2))
     return results
