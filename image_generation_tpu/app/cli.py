@@ -77,7 +77,7 @@ def _config_overrides(args):
     return overrides
 
 
-def _build_trainer(args, for_load: bool = False):
+def _build_trainer(args, for_load: bool = False, serving_model_dir=None):
     from image_generation_tpu.config import TrainingConfig
     from image_generation_tpu.training.trainer import Trainer
 
@@ -89,6 +89,18 @@ def _build_trainer(args, for_load: bool = False):
     )
     if not for_load:
         cfg = cfg.replace(QPU=args.qpu)
+    if serving_model_dir is not None:
+        # generation/serving surface (cmd_generate): at-scale checkpoints
+        # default to the int8 quantized sampler (config.for_serving —
+        # quality-neutral per runs/serving_quality_ab.json, +71% request
+        # rate); training/tune/refresh surfaces keep training semantics
+        from image_generation_tpu.io.checkpoint import read_parameters
+
+        cfg = cfg.for_serving(
+            int(read_parameters(serving_model_dir).get(
+                "n_latents", cfg.N_LATENTS
+            ))
+        )
     return Trainer(
         qpu=cfg.QPU, config=cfg, mesh=parse_mesh(getattr(args, "mesh", "auto"))
     )
@@ -291,8 +303,9 @@ def _model_path(args) -> Path:
 
 
 def cmd_generate(args):
-    trainer = _build_trainer(args, for_load=True)
-    trainer.load(_model_path(args))
+    model_dir = _model_path(args)
+    trainer = _build_trainer(args, for_load=True, serving_model_dir=model_dir)
+    trainer.load(model_dir)
     gen = trainer.generate_output(do_sharpen=args.sharpen, num_reads=args.num_reads)
     files = _attach_files(trainer, args)
     rec = trainer.generate_reconstructed_samples(do_sharpen=args.sharpen)

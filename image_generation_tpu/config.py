@@ -16,7 +16,13 @@ from typing import Optional
 
 import yaml
 
-__all__ = ["TrainingConfig"]
+__all__ = ["TrainingConfig", "SERVING_INT8_MIN_LATENTS"]
+
+# Scale gate for the serving-surface int8 default (TrainingConfig.
+# for_serving): models at/above this latent count serve from the quantized
+# sampler when SAMPLER_MATMUL_DTYPE is left at "auto".  Same 2048 threshold
+# as every other at-scale auto gate (bf16 matmuls, block-sparse packing).
+SERVING_INT8_MIN_LATENTS = 2048
 
 
 @dataclass
@@ -214,6 +220,31 @@ class TrainingConfig:
                 "explicit PT_BETAS ladder)"
             )
         return np.geomspace(self.PT_BETA_MIN, 1.0, self.PT_NUM_BETAS)
+
+    def for_serving(self, n_latents: int) -> "TrainingConfig":
+        """Generation/serving-surface config resolution: under the default
+        ``SAMPLER_MATMUL_DTYPE="auto"``, at-scale models (n_latents ≥ 2048
+        — the same threshold every other auto gate uses) serve from the
+        int8-QUANTIZED sampler instead of bf16: the measured +71%
+        request-rate lever (12.3 → 7.18 ms/request at the 5640-spin config,
+        BENCHMARKS.md / runs/sampler_bench.json) that the generated-image
+        quality A/B showed is metric-neutral (runs/serving_quality_ab.json:
+        image-MMD deltas inside the estimator's own 2σ round-to-round
+        noise; the int8 rounding of max|J|/127 is also tighter than the
+        analog h/J control error of the annealer the reference serves
+        from).  TRAINING surfaces never call this — the training negative
+        phase keeps exact-dtype semantics; an explicit "float32"/
+        "bfloat16"/"int8" is always honored unchanged.
+
+        Called by the serving surfaces only: ``WarmGenerator._trainer_for``
+        (app/warm.py — /api/generate + /api/generate_now) and the CLI
+        ``generate`` command (app/cli.py)."""
+        if (
+            self.SAMPLER_MATMUL_DTYPE == "auto"
+            and n_latents >= SERVING_INT8_MIN_LATENTS
+        ):
+            return self.replace(SAMPLER_MATMUL_DTYPE="int8")
+        return self
 
     def resolved_sampler_matmul_dtype(self, n_pad: int):
         """The sweep-matmul cast dtype for a graph padded to ``n_pad``:

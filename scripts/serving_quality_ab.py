@@ -39,10 +39,18 @@ def main(argv=None):
         "--models", action="append", default=None,
         help="checkpoint root(s); default: reference six + runs/models",
     )
-    ap.add_argument("--dataset-size", type=int, default=2048)
+    ap.add_argument("--dataset-size", type=int, default=1792)
+    # 1792 = the full offline fallback pool WITHOUT tiling (tiled
+    # duplicates would leak across the disjoint floor halves)
     ap.add_argument("--num-reads", type=int, default=256)
     ap.add_argument("--image-rounds", type=int, default=4)
     ap.add_argument("--out", default="runs/serving_quality_ab.json")
+    ap.add_argument(
+        "--quality-out", default="runs/generation_quality.json",
+        help="ALSO write the base arm's full evaluation rows here — the "
+        "BASELINE.md 'Generated-sample MMD parity' record (reference "
+        "checkpoints' values are the parity bar for ours, same data pool)",
+    )
     ap.add_argument("--platform", default=None)
     args = ap.parse_args(argv)
     if args.platform:
@@ -56,7 +64,7 @@ def main(argv=None):
         root = Path(root)
         dirs += sorted(d for d in root.iterdir() if (d / "dvae.pth").exists())
 
-    rows = []
+    rows, base_rows = [], []
     for d in dirs:
         row = {"model": d.name}
         for arm, overrides in (
@@ -68,6 +76,8 @@ def main(argv=None):
                 d, args.dataset_size, args.num_reads,
                 image_rounds=args.image_rounds, config_overrides=overrides,
             )
+            if arm == "base":
+                base_rows.append(r)
             row[arm] = {
                 "sampler_matmul_dtype": r["sampler_matmul_dtype"],
                 "image_mmd": r["image_mmd"],
@@ -100,6 +110,8 @@ def main(argv=None):
     }
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     Path(args.out).write_text(json.dumps(report, indent=1))
+    if args.quality_out:
+        Path(args.quality_out).write_text(json.dumps(base_rows, indent=1))
     print(f"int8_quality_neutral: {verdict} -> {args.out}", file=sys.stderr)
     return report
 

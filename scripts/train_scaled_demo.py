@@ -57,6 +57,12 @@ def main(argv=None):
         "pt_accept_min/mean and the moving rungs",
     )
     ap.add_argument(
+        "--save", default=None, metavar="DIR",
+        help="save the trained checkpoint here (reference .pth format via "
+        "Trainer.save) — e.g. runs/models/scaled_pegasus16_Nep, the input "
+        "to the scaled warm-serving load test (scripts/load_test_warm.py)",
+    )
+    ap.add_argument(
         "--pt-num-betas", type=int, default=32,
         help="PT ladder size (ladder right-sizing: the per-epoch "
         "pt_accept_min shows whether fewer rungs still exchange freely)",
@@ -106,6 +112,11 @@ def main(argv=None):
     trainer.train(args.epochs, epoch_cb=epoch_cb)
     wall = time.perf_counter() - t_start
 
+    saved = None
+    if args.save:
+        saved = str(trainer.save(args.save, n_epochs=args.epochs))
+        print(f"checkpoint saved: {saved}", file=sys.stderr)
+
     first, last = epochs[0]["mse"], epochs[-1]["mse"]
     report = {
         "device": f"{jax.devices()[0].platform}:"
@@ -125,6 +136,7 @@ def main(argv=None):
         "last_epoch_mse": last,
         "mse_improved": last < first,
         "wall_s": round(wall, 1),
+        "saved": saved,
     }
     out = json.dumps(report, indent=1)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -57,3 +57,24 @@ def test_overrides_win(tmp_path):
     c.to_yaml(tmp_path / "p.yaml")
     c2 = TrainingConfig.from_yaml(tmp_path / "p.yaml", BATCH_SIZE=16)
     assert c2.BATCH_SIZE == 16
+
+
+def test_for_serving_int8_scale_gate():
+    """Serving surfaces flip 'auto' to the quantized sampler at scale only
+    (config.for_serving — the measured +71% request-rate lever, quality-
+    neutral per runs/serving_quality_ab.json); explicit dtypes and training
+    configs are never touched."""
+    from image_generation_tpu.config import SERVING_INT8_MIN_LATENTS
+
+    cfg = TrainingConfig()
+    assert cfg.for_serving(256).SAMPLER_MATMUL_DTYPE == "auto"
+    assert (
+        cfg.for_serving(SERVING_INT8_MIN_LATENTS).SAMPLER_MATMUL_DTYPE
+        == "int8"
+    )
+    assert cfg.for_serving(5640).SAMPLER_MATMUL_DTYPE == "int8"
+    for explicit in ("float32", "bfloat16", "int8"):
+        c = TrainingConfig(SAMPLER_MATMUL_DTYPE=explicit)
+        assert c.for_serving(5640).SAMPLER_MATMUL_DTYPE == explicit
+    # non-serving resolution is unchanged by the serving gate
+    assert cfg.resolved_sampler_matmul_dtype(256) is None

@@ -204,3 +204,72 @@ def test_leader_hands_off_after_own_request_served():
     tb.join(timeout=5)
     assert results["b"] == "ok"
     assert c.served == 2
+
+
+def test_serving_default_flips_to_int8_at_scale(tmp_path, monkeypatch):
+    """The serving surface defaults at-scale models to the int8 quantized
+    sampler (config.for_serving, gated by SERVING_INT8_MIN_LATENTS) and
+    actually serves from it; small models keep 'auto'.  The threshold is
+    monkeypatched down so a tiny checkpoint exercises the at-scale path
+    end-to-end (the real gate value is pinned in tests/test_config.py)."""
+    from image_generation_tpu.app.warm import WarmGenerator
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.ops.quant import QuantCoupling
+    from image_generation_tpu.training.trainer import Trainer
+    import image_generation_tpu.config as config_mod
+
+    cfg = TrainingConfig(
+        N_LATENTS=32, NUM_READS=16, BATCH_SIZE=16, DATASET_SIZE=64,
+        N_REPLICAS=2, GIBBS_SWEEPS=2, GIBBS_BURN_IN=4,
+        QPU="Advantage2_prototype",
+    )
+    t = Trainer(config=cfg)
+    t.train_init(n_epochs=1)
+    t.train_epoch(0)
+    ckpt = t.save(tmp_path / "models" / "m", n_epochs=1)
+
+    small_overrides = dict(
+        DATASET_SIZE=64, BATCH_SIZE=16, NUM_READS=16,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=4, N_REPLICAS=2,
+    )
+    wg = WarmGenerator(tmp_path, config_overrides=small_overrides, mesh=None)
+    tr = wg._trainer_for(ckpt)
+    assert tr.config.SAMPLER_MATMUL_DTYPE == "auto"  # below the gate
+
+    monkeypatch.setattr(config_mod, "SERVING_INT8_MIN_LATENTS", 1)
+    wg2 = WarmGenerator(tmp_path, config_overrides=small_overrides, mesh=None)
+    tr2 = wg2._trainer_for(ckpt)
+    assert tr2.config.SAMPLER_MATMUL_DTYPE == "int8"
+    # the cached sampler leaf really is the quantized model ...
+    assert isinstance(tr2.state.sampler_coupling, QuantCoupling)
+    # ... and the coalescing serve path runs on it
+    out = wg2.serve(ckpt)
+    assert out["images"].shape[0] == 16
+    assert out["batched"] >= 1
+
+
+def test_cli_generate_applies_serving_default(tmp_path, monkeypatch):
+    """cmd_generate routes through the same serving-config resolution: the
+    builder peeks the checkpoint's parameters.json (no model load needed)."""
+    import json as _json
+
+    from image_generation_tpu.app.cli import _build_trainer
+    import image_generation_tpu.config as config_mod
+
+    mdir = tmp_path / "models" / "big"
+    mdir.mkdir(parents=True)
+    (mdir / "parameters.json").write_text(_json.dumps({"n_latents": 4096}))
+
+    class Args:
+        params = None
+        latents = None
+        dataset_size = 64
+        batch_size = 16
+        mesh = "off"
+
+    monkeypatch.setattr(config_mod, "SERVING_INT8_MIN_LATENTS", 8192)
+    tr = _build_trainer(Args(), for_load=True, serving_model_dir=mdir)
+    assert tr.config.SAMPLER_MATMUL_DTYPE == "auto"
+    monkeypatch.setattr(config_mod, "SERVING_INT8_MIN_LATENTS", 2048)
+    tr2 = _build_trainer(Args(), for_load=True, serving_model_dir=mdir)
+    assert tr2.config.SAMPLER_MATMUL_DTYPE == "int8"
