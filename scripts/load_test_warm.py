@@ -118,7 +118,23 @@ def main(argv=None):
     ap.add_argument("--serial", type=int, default=6,
                     help="serial warm requests for the baseline latency")
     ap.add_argument("--out", default="runs/warm_serving_load.json")
+    ap.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VAL",
+        help="TrainingConfig override for the warm serving trainer "
+        "(repeatable; values YAML-parsed) — e.g. the scaled serving regime: "
+        "--override SAMPLER=pt --override PT_NUM_BETAS=32 "
+        "--override NUM_READS=64 --override GIBBS_SWEEPS=4 "
+        "--override GIBBS_BURN_IN=4 (SAMPLER_MATMUL_DTYPE stays 'auto' so "
+        "the at-scale int8 serving default, config.for_serving, is what "
+        "gets measured)",
+    )
     args = ap.parse_args(argv)
+    import yaml
+
+    warm_overrides = {}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        warm_overrides[k] = yaml.safe_load(v)
 
     from image_generation_tpu.app.server import make_server
 
@@ -129,7 +145,10 @@ def main(argv=None):
     dst.parent.mkdir(parents=True)
     shutil.copytree(model_src, dst)
 
-    srv = make_server(workdir, port=0, warm_generate=True)
+    srv = make_server(
+        workdir, port=0, warm_generate=True,
+        warm_overrides=warm_overrides or None,
+    )
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     port = srv.server_address[1]
     name = model_src.name
@@ -170,6 +189,18 @@ def main(argv=None):
             "concurrency": n,
             "bursts": args.bursts,
             "serial_requests": args.serial,
+            "warm_overrides": warm_overrides,
+        }
+        tcfg = srv.warm._trainer.config
+        report["serving_config"] = {
+            "n_latents": srv.warm._trainer.n_latents,
+            "sampler": tcfg.SAMPLER,
+            "num_reads": tcfg.NUM_READS,
+            "pt_num_betas": tcfg.PT_NUM_BETAS
+            if tcfg.SAMPLER == "pt" else None,
+            # "int8" here on an at-scale model = the config.for_serving
+            # default actually engaging at the product surface
+            "sampler_matmul_dtype": tcfg.SAMPLER_MATMUL_DTYPE,
         }
 
         def fire_serve(_i):
