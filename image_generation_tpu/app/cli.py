@@ -59,6 +59,8 @@ def _config_overrides(args):
         overrides["SAMPLER_MATMUL_DTYPE"] = args.sampler_matmul_dtype
     if getattr(args, "sweep_block_sparse", None) is not None:
         overrides["SWEEP_BLOCK_SPARSE"] = args.sweep_block_sparse
+    if getattr(args, "plrng_row_seed", None) is not None:
+        overrides["PLRNG_ROW_SEED"] = args.plrng_row_seed
     if getattr(args, "sweep_bs_chunk", None) is not None:
         overrides["SWEEP_BS_CHUNK"] = args.sweep_bs_chunk
     if getattr(args, "sampler", None) is not None:
@@ -531,6 +533,13 @@ def build_parser():
         "~3-4x fewer sweep FLOPs/bytes on hardware topologies — "
         "ops/block_sparse.py; composes with --graph-sharded: each row "
         "shard packs its own chunks, ops/block_sparse_sharded.py)",
+    )
+    common.add_argument(
+        "--plrng-row-seed", default=None, choices=["on", "off"],
+        help="seed the graph-sharded hardware-PRNG update kernel per 8-row "
+        "global-row group (default off) — makes the sampled chain "
+        "bit-identical across mesh factorizations at the cost of the "
+        "per-group reseed loop (ops/gibbs_graph_sharded_pallas.py)",
     )
     common.add_argument(
         "--sweep-bs-chunk", default=None, type=int,

@@ -103,6 +103,13 @@ class TrainingConfig:
     # backends when the problem fits VMEM. On a multi-chip mesh the kernel
     # runs under shard_map (zero-comm chain sharding) whenever the chain
     # count tiles the mesh; otherwise the XLA sampler partitions via GSPMD.
+    PLRNG_ROW_SEED: str = "off"  # "on" | "off" — under USE_PALLAS ×
+    # GRAPH_SHARDED, reseed the hardware-PRNG span-update kernel per 8-row
+    # group from GLOBAL row ids (ops/gibbs_graph_sharded_pallas.py) so the
+    # sampled chain is bit-identical across mesh factorizations (the default
+    # tile seeding varies with the per-shard chain count — a different but
+    # equally valid stream per mesh shape).  Opt-in: costs the per-group
+    # reseed loop; only worth it when cross-layout reproducibility matters.
     SWEEP_BLOCK_SPARSE: str = "auto"  # "auto" | "on" | "off" — pack the
     # cached sampler coupling into its occupied chunk panels and sweep only
     # those (ops/block_sparse.py).  Hardware graphs are sparse (degree ≤ 20)
@@ -153,14 +160,15 @@ class TrainingConfig:
                 raise ValueError(
                     f"{field} must be one of 'auto'/'on'/'off', got {v!r}"
                 )
-        v = self.ADAM_FACTORED_NU
-        if isinstance(v, bool):  # YAML 1.1 'on'/'off' parse as booleans
-            v = "on" if v else "off"
-            object.__setattr__(self, "ADAM_FACTORED_NU", v)
-        if v not in ("on", "off"):
-            raise ValueError(
-                f"ADAM_FACTORED_NU must be 'on' or 'off', got {v!r}"
-            )
+        for field in ("ADAM_FACTORED_NU", "PLRNG_ROW_SEED"):
+            v = getattr(self, field)
+            if isinstance(v, bool):  # YAML 1.1 'on'/'off' parse as booleans
+                v = "on" if v else "off"
+                object.__setattr__(self, field, v)
+            if v not in ("on", "off"):
+                raise ValueError(
+                    f"{field} must be 'on' or 'off', got {v!r}"
+                )
         if self.ADAM_MOMENT_DTYPE not in ("float32", "bfloat16"):
             raise ValueError(
                 "ADAM_MOMENT_DTYPE must be 'float32' or 'bfloat16', got "

@@ -385,7 +385,7 @@ def gibbs_sweeps_graph_sharded(
     graph_axis: str = "chain",
     matmul_dtype=None,
     track_delta_e: bool = False,
-    pallas_update: bool = False,
+    pallas_update: bool | str = False,
     pallas_interpret: bool = False,
     uniforms: jax.Array | None = None,
 ):
@@ -406,7 +406,9 @@ def gibbs_sweeps_graph_sharded(
     ``pallas_update``: run the Bernoulli block update as the Pallas
     hardware-PRNG kernel (ops/gibbs_graph_sharded_pallas.py) instead of the
     XLA threefry draw — same matmul/psum structure, a different (hardware)
-    uniform stream.  ``uniforms``: explicit (n_sweeps, C, n_pad) uniforms
+    uniform stream; the string ``"row_seed"`` selects the per-global-row-
+    group reseeded variant whose stream is invariant to the mesh
+    factorization (config PLRNG_ROW_SEED).  ``uniforms``: explicit (n_sweeps, C, n_pad) uniforms
     for the update (replicated over the graph axis) — with
     ``xla_stream_uniforms`` this makes the kernel path bit-exact against
     the XLA path (tests); ``pallas_interpret`` runs the kernel in the plain
@@ -437,7 +439,10 @@ def gibbs_sweeps_graph_sharded(
             make_pallas_update,
         )
 
-        update_fn = make_pallas_update(interpret=pallas_interpret)
+        update_fn = make_pallas_update(
+            interpret=pallas_interpret,
+            row_seed=(pallas_update == "row_seed"),
+        )
     body = partial(
         _sweep_body,
         blocks=plan.blocks,

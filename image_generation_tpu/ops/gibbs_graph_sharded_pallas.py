@@ -27,7 +27,12 @@ body's per-global-row threefry, the tile size (and so the stream) depends
 on the per-shard chain count: re-running on a different mesh factorization
 samples a DIFFERENT — equally valid — chain of the same model; the
 mandatory invariant (graph-axis agreement) holds on every mesh because
-graph-axis peers share identical (row_ids, c_loc, key).  Both
+graph-axis peers share identical (row_ids, c_loc, key).  When cross-layout
+reproducibility matters, the opt-in ``PLRNG_ROW_SEED="on"`` selects the
+row-seeded kernel variant (`_update_hw_rowseed_kernel`): reseeded per 8-row
+group from GLOBAL row ids, its stream is identical on every mesh
+factorization, at the measured cost of the per-group reseed loop
+(scripts/check_plrng_rowseed_onchip.py).  Both
 are valid Gibbs chains of the same model; on-chip statistical validation
 mirrors the HBM kernel's (scripts/bench_sampler.py --ablate-spans adds the
 measured comparison; tests pin the fed-uniform variant bit-exact against
@@ -55,6 +60,27 @@ from image_generation_tpu.ops.gibbs_pallas_hbm import _uniform_hw
 
 __all__ = ["make_pallas_update", "xla_stream_uniforms"]
 
+# rows drawn per hardware-PRNG reseed in the row-seeded kernel: 8 f32
+# sublanes = one full VPU tile per draw, and every practical chain count
+# (NUM_READS × PT_NUM_BETAS — always a multiple of 8) keeps shard
+# boundaries 8-aligned, so the per-group global row id (and with it the
+# whole stream) is invariant to how the mesh factors the chains
+_ROW_SEED_GROUP = 8
+
+
+def _group_seeds(k, row_ids, group: int):
+    """Per-row-group int32 hardware-PRNG seeds: one scalar threefry from the
+    (sweep, span) key plus the GLOBAL row id of each ``group``-row block.
+    Depends only on (k, global row ids) — identical on graph-axis peers
+    (same row_ids, same k: the mandatory agreement invariant) and, unlike
+    the tile-indexed seeding of `_update_hw_kernel`, independent of the
+    per-shard chain count, so the stream survives mesh refactoring.
+    int32 overflow wraps identically everywhere — harmless for a seed."""
+    base = jax.random.randint(
+        k, (1,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    )
+    return base + row_ids[::group].astype(jnp.int32)
+
 
 def _pick_tile(c_loc: int, width: int, cap: int = 256) -> int:
     """Largest divisor of the per-shard chain count ≤ cap AND ≤ the VMEM
@@ -71,6 +97,19 @@ def _pick_tile(c_loc: int, width: int, cap: int = 256) -> int:
     return t
 
 
+def _pick_tile_grouped(c_loc: int, width: int) -> int:
+    """`_pick_tile` for the row-seeded kernel: the tile must additionally be
+    a whole number of `_ROW_SEED_GROUP`-row seed groups (the scratch-draw
+    loop reseeds per group; group starts are 8-aligned so the f32 (8, 128)
+    sublane tiling never sees an unaligned store).  Requires
+    ``c_loc % _ROW_SEED_GROUP == 0`` (the caller validates)."""
+    t = _pick_tile(c_loc, width)
+    tile = t - t % _ROW_SEED_GROUP
+    while tile and c_loc % tile:
+        tile -= _ROW_SEED_GROUP
+    return tile or _ROW_SEED_GROUP
+
+
 def _update_hw_kernel(seed_ref, beta_ref, fields_ref, out_ref):
     # seed already folds in (sweep, span) via the traced key and the shard's
     # global row-tile base; program_id distinguishes tiles within the shard
@@ -80,22 +119,67 @@ def _update_hw_kernel(seed_ref, beta_ref, fields_ref, out_ref):
     out_ref[:] = jnp.where(u < p_plus, 1.0, -1.0)
 
 
+def _update_hw_rowseed_kernel(seed_ref, beta_ref, fields_ref, out_ref, u_ref,
+                              *, group):
+    # mesh-factorization-invariant variant: reseed per ``group``-row block
+    # from its GLOBAL row id (seed_ref carries ALL the shard's per-group
+    # seeds, unblocked — Mosaic only allows rank-1 SMEM blocks that are
+    # whole arrays or 128-multiples, so tiles index it via program_id),
+    # draw each group's uniforms into VMEM scratch, then run the vectorized
+    # update over the whole tile.  The reseed loop is the cost of the
+    # invariance — measured against `_update_hw_kernel` by
+    # scripts/check_plrng_rowseed_onchip.py.
+    tile, width = out_ref.shape
+    per_tile = tile // group
+    base = pl.program_id(0) * per_tile
+
+    def draw(g, _):
+        pltpu.prng_seed(seed_ref[base + g])
+        u_ref[pl.ds(g * group, group), :] = _uniform_hw(group, width)
+        return 0
+
+    jax.lax.fori_loop(0, per_tile, draw, 0)
+    p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields_ref[:])
+    out_ref[:] = jnp.where(u_ref[:] < p_plus, 1.0, -1.0)
+
+
 def _update_fed_kernel(beta_ref, fields_ref, u_ref, out_ref):
     p_plus = jax.nn.sigmoid(-2.0 * beta_ref[:] * fields_ref[:])
     out_ref[:] = jnp.where(u_ref[:] < p_plus, 1.0, -1.0)
 
 
-def make_pallas_update(interpret: bool = False):
+def make_pallas_update(interpret: bool = False, row_seed: bool = False):
     """Build the sweep body's ``update_fn``: (k, fields, beta_col, row_ids,
     u_span) → f32 ±1 block update of shape ``fields.shape``.
 
     ``u_span`` None selects the hardware-PRNG kernel (production, TPU only);
     an array feeds explicit uniforms (tests — the plain interpreter runs it
-    under shard_map, per the repo's Pallas environment notes)."""
+    under shard_map, per the repo's Pallas environment notes).
+
+    ``row_seed`` (config ``PLRNG_ROW_SEED="on"``, opt-in): seed the hardware
+    PRNG per 8-row group from each group's GLOBAL row id instead of once per
+    row tile — the stream then no longer depends on the per-shard chain
+    count, so re-running the same model on a differently-factored mesh
+    replays the IDENTICAL chain (the default kernel's documented gap; pinned
+    whole-vs-split on chip by scripts/check_plrng_rowseed_onchip.py).  Costs
+    one reseed + (8, width) draw per group; requires the per-shard chain
+    count to be a multiple of 8 (every NUM_READS × PT_NUM_BETAS shape is).
+    Only the hardware-PRNG path differs — fed-uniform calls (tests) are
+    byte-identical to the default kernel's."""
 
     def update(k, fields, beta_col, row_ids, u_span=None):
         c_loc, width = fields.shape
-        tile = _pick_tile(c_loc, width)
+        if row_seed and u_span is None:
+            if c_loc % _ROW_SEED_GROUP:
+                raise ValueError(
+                    "PLRNG_ROW_SEED needs the per-shard chain count to be "
+                    f"a multiple of {_ROW_SEED_GROUP}, got {c_loc} — use a "
+                    "NUM_READS (× PT ladder) that keeps each mesh shard's "
+                    "rows 8-aligned, or turn PLRNG_ROW_SEED off"
+                )
+            tile = _pick_tile_grouped(c_loc, width)
+        else:
+            tile = _pick_tile(c_loc, width)
         beta_arr = jnp.broadcast_to(
             jnp.asarray(beta_col, jnp.float32).reshape(-1, 1), (c_loc, 1)
         )
@@ -117,6 +201,27 @@ def make_pallas_update(interpret: bool = False):
                 in_specs=[beta_spec, span_spec, span_spec],
                 **common,
             )(beta_arr, fields, u_span.astype(jnp.float32))
+        if row_seed:
+            seeds = _group_seeds(k, row_ids, _ROW_SEED_GROUP)
+            return pl.pallas_call(
+                functools.partial(
+                    _update_hw_rowseed_kernel, group=_ROW_SEED_GROUP
+                ),
+                in_specs=[
+                    # whole seed array to every tile (program_id indexes it):
+                    # Mosaic rejects rank-1 SMEM blocks that aren't whole
+                    # arrays or 128-multiples
+                    pl.BlockSpec(
+                        (c_loc // _ROW_SEED_GROUP,), lambda i: (0,),
+                        memory_space=pltpu.SMEM,
+                    ),
+                    beta_spec,
+                    span_spec,
+                ],
+                scratch_shapes=[pltpu.VMEM((tile, width), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(has_side_effects=True),
+                **common,
+            )(seeds, beta_arr, fields)
         # one scalar threefry per span (chain-count independent); the global
         # row-tile base keeps chain-axis shards on distinct streams while
         # graph-axis shards (same row_ids, same k) agree bit-for-bit

@@ -366,8 +366,13 @@ def make_train_fns(
         # threefry update for the Pallas span-update kernel
         # (ops/gibbs_graph_sharded_pallas.py) — matmuls/psums stay XLA.
         pallas_ok = False  # the full kernels hold whole coupling rows
-        gs_pallas_update = use_pallas
-        sampler_impl = "xla_graph_sharded" + ("+plrng" if gs_pallas_update else "")
+        gs_pallas_update = use_pallas and (
+            "row_seed" if cfg.PLRNG_ROW_SEED == "on" else True
+        )
+        sampler_impl = "xla_graph_sharded" + (
+            "+plrng_rs" if gs_pallas_update == "row_seed"
+            else "+plrng" if gs_pallas_update else ""
+        )
     elif pallas_ok:
         sampler_impl = "pallas_vmem" if pallas_vmem else "pallas_hbm"
         if pallas_sharded:

@@ -126,6 +126,80 @@ def test_pick_tile_respects_vmem_budget():
     assert _pick_tile(2048, width=16384) <= 32
 
 
+def test_group_seeds_factorization_invariant():
+    """PLRNG_ROW_SEED's defining property: the per-8-row-group hardware-PRNG
+    seeds depend only on (span key, GLOBAL row ids) — computing them for a
+    whole chain range equals concatenating any shard split of it, so the
+    drawn stream survives mesh refactoring (the default tile seeding's
+    documented gap).  Graph-axis peers (same rows, same key) trivially
+    agree."""
+    from image_generation_tpu.ops.gibbs_graph_sharded_pallas import (
+        _ROW_SEED_GROUP,
+        _group_seeds,
+    )
+
+    k = jax.random.PRNGKey(11)
+    whole = _group_seeds(k, jnp.arange(64), _ROW_SEED_GROUP)
+    for n_shards in (2, 4, 8):
+        rows = 64 // n_shards
+        parts = jnp.concatenate([
+            _group_seeds(k, i * rows + jnp.arange(rows), _ROW_SEED_GROUP)
+            for i in range(n_shards)
+        ])
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(parts))
+
+
+def test_pick_tile_grouped():
+    """Row-seeded tiles stay whole numbers of 8-row seed groups, divide the
+    chain count, and respect the same VMEM budget as `_pick_tile`."""
+    from image_generation_tpu.ops.gibbs_graph_sharded_pallas import (
+        _pick_tile_grouped,
+    )
+
+    for c_loc in (8, 24, 256, 2048):
+        for width in (128, 2000, 16384, 120000):
+            t = _pick_tile_grouped(c_loc, width)
+            assert t % 8 == 0 and c_loc % t == 0
+            # one extra uniforms scratch buffer vs _pick_tile's 3
+            assert t == 8 or 4 * t * width * 4 <= 8 << 20, (c_loc, width, t)
+
+
+def test_rowseed_fed_path_bitexact(medium):
+    """pallas_update="row_seed" with fed uniforms is byte-identical to the
+    default kernel's fed path (row seeding only changes the hardware-PRNG
+    draw) — so the row-seeded sweep stays pinned bit-exact against the XLA
+    body's stream through the same plumbing."""
+    graph, h, j = medium
+    plan = build_plan(graph)
+    hp, cp = permuted_model(plan, h, j)
+    mesh = create_mesh(8, shape=(2, 4))
+    ref, _ = _run_both(plan, hp, cp, mesh)
+    key = jax.random.PRNGKey(3)
+    s0 = jnp.asarray(
+        np.asarray(random_spins(jax.random.PRNGKey(4), plan, 32))
+    )
+    u = xla_stream_uniforms(key, plan, 32, 4)
+    out = gibbs_sweeps_graph_sharded(
+        key, hp, cp, plan, s0, 4, mesh,
+        pallas_update="row_seed", pallas_interpret=True, uniforms=u,
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_rowseed_rejects_unaligned_chains():
+    """The hardware-PRNG row-seeded path needs 8-aligned per-shard chain
+    counts (group starts must hit f32 sublane tiling); fail loudly, not
+    with a Mosaic lowering error."""
+    from image_generation_tpu.ops.gibbs_graph_sharded_pallas import (
+        make_pallas_update,
+    )
+
+    update = make_pallas_update(row_seed=True)
+    fields = jnp.zeros((12, 16), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        update(jax.random.PRNGKey(0), fields, jnp.float32(1.0), jnp.arange(12))
+
+
 def test_step_selects_pallas_update_on_request(medium):
     """make_train_fns: GRAPH_SHARDED + USE_PALLAS='on' now advertises the
     composed path instead of silently dropping to the XLA update
@@ -146,3 +220,11 @@ def test_step_selects_pallas_update_on_request(medium):
     cfg_off = cfg.replace(USE_PALLAS="off")
     fns_off = make_train_fns(cfg_off, graph, 4, plan, mesh=mesh)
     assert fns_off.sampler_impl == "xla_graph_sharded"
+    cfg_rs = cfg.replace(PLRNG_ROW_SEED="on")
+    fns_rs = make_train_fns(cfg_rs, graph, 4, plan, mesh=mesh)
+    assert fns_rs.sampler_impl == "xla_graph_sharded+plrng_rs"
+    # row seeding rides the plrng kernel: without it, no effect
+    fns_rs_off = make_train_fns(
+        cfg_rs.replace(USE_PALLAS="off"), graph, 4, plan, mesh=mesh
+    )
+    assert fns_rs_off.sampler_impl == "xla_graph_sharded"
