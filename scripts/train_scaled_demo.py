@@ -137,6 +137,10 @@ def main(argv=None):
         "mse_improved": last < first,
         "wall_s": round(wall, 1),
         "saved": saved,
+        # reproduction recipe — checkpoint weights are gitignored (537 MB)
+        "command": "python scripts/train_scaled_demo.py " + " ".join(
+            argv if argv is not None else sys.argv[1:]
+        ),
     }
     out = json.dumps(report, indent=1)
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
