@@ -52,9 +52,22 @@ def main(argv=None):
         "checkpoints' values are the parity bar for ours, same data pool)",
     )
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VAL",
+        help="TrainingConfig override applied to BOTH arms (repeatable; "
+        "values YAML-parsed) — the scaled A/B passes the serving regime "
+        "(SAMPLER=pt PT_NUM_BETAS=32 …) so neutrality is measured where "
+        "the int8 default actually engages (n_latents ≥ 2048)",
+    )
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import yaml
+
+    common_overrides = {}
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        common_overrides[k] = yaml.safe_load(v)
 
     from image_generation_tpu.app.evaluate import evaluate_checkpoint
 
@@ -74,7 +87,8 @@ def main(argv=None):
             t0 = time.perf_counter()
             r = evaluate_checkpoint(
                 d, args.dataset_size, args.num_reads,
-                image_rounds=args.image_rounds, config_overrides=overrides,
+                image_rounds=args.image_rounds,
+                config_overrides={**common_overrides, **(overrides or {})},
             )
             if arm == "base":
                 base_rows.append(r)
@@ -105,6 +119,7 @@ def main(argv=None):
         "num_reads": args.num_reads,
         "image_rounds": args.image_rounds,
         "dataset_size": args.dataset_size,
+        "overrides": common_overrides,
         "models": rows,
         "int8_quality_neutral": verdict,
     }
