@@ -78,3 +78,15 @@ def test_for_serving_int8_scale_gate():
         assert c.for_serving(5640).SAMPLER_MATMUL_DTYPE == explicit
     # non-serving resolution is unchanged by the serving gate
     assert cfg.resolved_sampler_matmul_dtype(256) is None
+
+
+def test_plrng_row_seed_validation():
+    """PLRNG_ROW_SEED follows the on/off contract with YAML-1.1 bool
+    normalization (a file saying ``PLRNG_ROW_SEED: on`` arrives as True)."""
+    import pytest
+
+    assert TrainingConfig().PLRNG_ROW_SEED == "off"
+    assert TrainingConfig(PLRNG_ROW_SEED=True).PLRNG_ROW_SEED == "on"
+    assert TrainingConfig(PLRNG_ROW_SEED=False).PLRNG_ROW_SEED == "off"
+    with pytest.raises(ValueError, match="PLRNG_ROW_SEED"):
+        TrainingConfig(PLRNG_ROW_SEED="auto")
