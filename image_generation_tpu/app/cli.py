@@ -628,6 +628,33 @@ def build_parser():
     return ap
 
 
+def validate_extra_cli(extra_cli):
+    """Fail fast on a mistyped pass-through flag: ``app.py`` forwards its
+    unknown flags verbatim to every job subprocess and to the warm serving
+    trainer (parse_serving_args), so without this check a startup typo
+    (``--warm-genrate``) only surfaces as a late, confusing job failure.
+    Every ``--flag`` must be an option of SOME CLI subcommand."""
+    ap = build_parser()
+    known = set()
+    for act in ap._actions:
+        known.update(act.option_strings)
+        if isinstance(act, argparse._SubParsersAction):
+            for sub in act.choices.values():
+                for a in sub._actions:
+                    known.update(a.option_strings)
+    bad = sorted({
+        t.split("=", 1)[0]
+        for t in extra_cli
+        if t.startswith("--") and t.split("=", 1)[0] not in known
+    })
+    if bad:
+        raise SystemExit(
+            f"unknown flag(s) {' '.join(bad)}: not an app.py flag and not "
+            "recognized by any image_generation_tpu CLI command (the "
+            "pass-through surface)"
+        )
+
+
 def parse_serving_args(extra_cli):
     """Parse the server's per-job ``extra_cli`` flag list as a ``generate``
     invocation (unknown train-only flags tolerated) so the warm in-process

@@ -85,10 +85,16 @@ def image_space_metrics(
     }
     data = np.asarray(trainer.images, dtype=np.float32)
     flat = data.reshape(data.shape[0], -1)
+    if "-tiled" in trainer.data_source.origin:
+        # a tiled offline pool (utils/data.py load_mnist) duplicates every
+        # image ~reps×; copies of one image landing in BOTH "disjoint"
+        # floor halves would bias image_mmd_floor low — draw from the
+        # unique rows only (restores the untiled pool)
+        flat = np.unique(flat, axis=0)
     if flat.shape[0] < 2 * num_reads:
         raise ValueError(
-            f"image_space_metrics needs >= {2 * num_reads} data images for "
-            f"disjoint floor batches, have {flat.shape[0]}"
+            f"image_space_metrics needs >= {2 * num_reads} distinct data "
+            f"images for disjoint floor batches, have {flat.shape[0]}"
         )
     rng = np.random.default_rng(seed)
     gen_v, floor_v, noise_v = [], [], []
@@ -130,10 +136,11 @@ def evaluate_checkpoint(
     from image_generation_tpu.ops.mmd import GaussianKernel, mmd_loss
     from image_generation_tpu.training.trainer import Trainer
 
-    cfg = TrainingConfig(
-        DATASET_SIZE=dataset_size, BATCH_SIZE=batch_size,
-        **(config_overrides or {}),
-    )
+    batch_size = min(batch_size, dataset_size)  # small eval sets must not
+    # leave the recon loop empty (main() fixes batch_size at 256)
+    kw = {"DATASET_SIZE": dataset_size, "BATCH_SIZE": batch_size}
+    kw.update(config_overrides or {})  # an explicit override wins
+    cfg = TrainingConfig(**kw)
     trainer = Trainer(config=cfg)
     trainer.load(model_dir)
     key = jax.random.PRNGKey(seed)
@@ -207,7 +214,12 @@ def main(argv=None):
         help="checkpoint root(s) — repeatable; every subdirectory holding a "
         "dvae.pth is evaluated (default: /root/reference/models)",
     )
-    ap.add_argument("--dataset-size", type=int, default=2048)
+    ap.add_argument(
+        "--dataset-size", type=int, default=None,
+        help="eval-set size (default: min(2048, untiled data pool) — a "
+        "tiled pool would also be deduped for the image-MMD floor halves, "
+        "shrinking them back anyway)",
+    )
     ap.add_argument("--num-reads", type=int, default=256)
     ap.add_argument(
         "--image-rounds", type=int, default=4,
@@ -228,6 +240,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.dataset_size is None:
+        from image_generation_tpu.utils.data import load_mnist
+
+        args.dataset_size = min(2048, len(load_mnist(None).images))
     overrides = (
         {"SAMPLER_MATMUL_DTYPE": args.sampler_matmul_dtype}
         if args.sampler_matmul_dtype

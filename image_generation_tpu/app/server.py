@@ -872,6 +872,9 @@ def main(argv=None):
     #   python app.py --warm-generate --sampler-matmul-dtype int8 \
     #                 --serve-max-batch 32
     args, extra = ap.parse_known_args(argv)
+    from image_generation_tpu.app.cli import validate_extra_cli
+
+    validate_extra_cli(extra)  # a mistyped server flag must die at startup
     server = make_server(
         args.workdir, args.port, extra_cli=extra, host=args.host,
         warm_generate=args.warm_generate,

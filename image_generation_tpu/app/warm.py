@@ -48,11 +48,12 @@ from typing import Optional
 class _Request:
     """One ``serve()`` call waiting for its slice of a fused dispatch."""
 
-    __slots__ = ("group", "sharpen", "done", "result", "error")
+    __slots__ = ("group", "done", "result", "error")
 
-    def __init__(self, group: str, sharpen: bool):
+    def __init__(self, group: str):
+        # no per-request options travel through the coalescer: the dispatch
+        # returns raw uint8 slices and sharpen/grid run in serve() itself
         self.group = group
-        self.sharpen = sharpen
         self.done = False
         self.result = None
         self.error = None
@@ -255,7 +256,7 @@ class WarmGenerator:
 
         from image_generation_tpu.utils.grid import make_grid, sharpen as _sharpen
 
-        req = _Request(str(Path(model_path).resolve()), bool(sharpen))
+        req = _Request(str(Path(model_path).resolve()))
         imgs8, batched = self._coalescer.submit(req)
         out = imgs8.astype(np.float32) / 255.0
         if sharpen:

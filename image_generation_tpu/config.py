@@ -298,6 +298,27 @@ class TrainingConfig:
         kwargs.update(overrides)
         return cls(**kwargs)
 
+    @classmethod
+    def parse_overrides(cls, pairs) -> dict:
+        """``--override KEY=VAL`` CLI strings → constructor-kwargs dict with
+        YAML-typed values (``PT_NUM_BETAS=32`` → int, ``PT_BETAS=[0.5,1]``
+        → list) — the one parser shared by every script that grows an
+        ``--override`` flag (scripts/serving_quality_ab.py,
+        scripts/load_test_warm.py).  Unknown keys and a missing '=' fail
+        loudly here instead of as a late TypeError/None inside the run."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        out = {}
+        for ov in pairs or []:
+            k, sep, v = ov.partition("=")
+            if not sep or not k:
+                raise SystemExit(f"--override must be KEY=VAL, got {ov!r}")
+            if k not in known:
+                raise SystemExit(
+                    f"--override: {k!r} is not a TrainingConfig field"
+                )
+            out[k] = yaml.safe_load(v)
+        return out
+
     def to_yaml(self, path) -> None:
         d = dataclasses.asdict(self)
         d["H_RANGE"] = list(self.H_RANGE)

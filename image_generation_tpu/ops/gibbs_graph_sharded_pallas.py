@@ -102,12 +102,26 @@ def _pick_tile_grouped(c_loc: int, width: int) -> int:
     a whole number of `_ROW_SEED_GROUP`-row seed groups (the scratch-draw
     loop reseeds per group; group starts are 8-aligned so the f32 (8, 128)
     sublane tiling never sees an unaligned store).  Requires
-    ``c_loc % _ROW_SEED_GROUP == 0`` (the caller validates)."""
+    ``c_loc % _ROW_SEED_GROUP == 0`` (the caller validates).
+
+    Unlike `_pick_tile`, this tile can never shrink below one seed group —
+    a span too wide for an 8-row tile inside the VMEM budget (width >
+    ~65k columns) must fail LOUDLY rather than silently over-subscribe
+    VMEM with a Mosaic compile error downstream; the default (tile-seeded)
+    kernel handles such spans at tile=1, so the fix is advertised."""
     t = _pick_tile(c_loc, width)
+    if t < _ROW_SEED_GROUP:
+        raise ValueError(
+            f"PLRNG_ROW_SEED cannot tile a {width}-column color-class span: "
+            f"its minimum {_ROW_SEED_GROUP}-row seed-group tile exceeds the "
+            "kernel's VMEM row budget — turn PLRNG_ROW_SEED off (the "
+            "default hardware-PRNG kernel handles spans this wide at "
+            "tile=1) or use the XLA-stream sweep"
+        )
     tile = t - t % _ROW_SEED_GROUP
-    while tile and c_loc % tile:
+    while c_loc % tile:  # terminates: c_loc % _ROW_SEED_GROUP == 0
         tile -= _ROW_SEED_GROUP
-    return tile or _ROW_SEED_GROUP
+    return tile
 
 
 def _update_hw_kernel(seed_ref, beta_ref, fields_ref, out_ref):

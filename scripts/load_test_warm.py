@@ -129,12 +129,9 @@ def main(argv=None):
         "gets measured)",
     )
     args = ap.parse_args(argv)
-    import yaml
+    from image_generation_tpu.config import TrainingConfig
 
-    warm_overrides = {}
-    for ov in args.override:
-        k, _, v = ov.partition("=")
-        warm_overrides[k] = yaml.safe_load(v)
+    warm_overrides = TrainingConfig.parse_overrides(args.override)
 
     from image_generation_tpu.app.server import make_server
 

@@ -62,12 +62,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    import yaml
+    from image_generation_tpu.config import TrainingConfig
 
-    common_overrides = {}
-    for ov in args.override:
-        k, _, v = ov.partition("=")
-        common_overrides[k] = yaml.safe_load(v)
+    common_overrides = TrainingConfig.parse_overrides(args.override)
 
     from image_generation_tpu.app.evaluate import evaluate_checkpoint
 

@@ -234,3 +234,18 @@ def test_cli_tune_pt_roundtrip(tmp_path):
     meta2 = json.loads(out.read_text())
     assert len(meta2["betas"]) == 16
     assert meta2["recommended_num_betas"] >= 2
+
+
+def test_validate_extra_cli():
+    """app.py's pass-through flag list dies at startup on a typo instead of
+    surfacing as a late job-subprocess failure (server.py main)."""
+    from image_generation_tpu.app.cli import validate_extra_cli
+
+    # real CLI flags pass, in both "--flag value" and "--flag=value" forms
+    validate_extra_cli(
+        ["--sampler-matmul-dtype", "int8", "--serve-max-batch=32",
+         "--mesh", "off"]
+    )
+    validate_extra_cli([])
+    with pytest.raises(SystemExit, match="--warm-genrate"):
+        validate_extra_cli(["--warm-genrate"])

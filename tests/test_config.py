@@ -90,3 +90,20 @@ def test_plrng_row_seed_validation():
     assert TrainingConfig(PLRNG_ROW_SEED=False).PLRNG_ROW_SEED == "off"
     with pytest.raises(ValueError, match="PLRNG_ROW_SEED"):
         TrainingConfig(PLRNG_ROW_SEED="auto")
+
+
+def test_parse_overrides():
+    """The shared --override KEY=VAL parser (scripts/serving_quality_ab.py,
+    scripts/load_test_warm.py): YAML-typed values, loud failures."""
+    import pytest
+
+    d = TrainingConfig.parse_overrides(
+        ["PT_NUM_BETAS=32", "SAMPLER=pt", "PT_BETAS=[0.5, 1.0]"]
+    )
+    assert d == {"PT_NUM_BETAS": 32, "SAMPLER": "pt", "PT_BETAS": [0.5, 1.0]}
+    assert TrainingConfig.parse_overrides([]) == {}
+    assert TrainingConfig.parse_overrides(None) == {}
+    with pytest.raises(SystemExit, match="KEY=VAL"):
+        TrainingConfig.parse_overrides(["NUM_READS"])
+    with pytest.raises(SystemExit, match="not a TrainingConfig field"):
+        TrainingConfig.parse_overrides(["NUM_REEDS=4"])

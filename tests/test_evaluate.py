@@ -99,3 +99,41 @@ def test_evaluate_checkpoint_image_rounds_zero_skips(trained):
         ckpt, dataset_size=64, num_reads=16, batch_size=16, image_rounds=0,
     )
     assert "image_mmd" not in r
+
+
+class _TiledProxy:
+    """A trainer view whose data pool is tiled (every image duplicated),
+    mimicking the offline load_mnist tile-up (utils/data.py) — only the
+    attributes image_space_metrics reads."""
+
+    def __init__(self, t, reps=2):
+        from image_generation_tpu.utils.data import DataSource
+
+        self._t = t
+        self.fns = t.fns
+        self.state = t.state
+        self.images = np.concatenate([np.asarray(t.images)] * reps, axis=0)
+        self.data_source = DataSource(
+            t.data_source.images, t.data_source.labels,
+            t.data_source.origin + f"-tiled{reps}",
+        )
+
+    def sample_spins(self, n):
+        return self._t.sample_spins(n)
+
+
+def test_image_space_metrics_dedupes_tiled_pool(trained):
+    """A tiled offline pool duplicates images; copies landing in BOTH
+    'disjoint' floor halves would bias image_mmd_floor low — the metric
+    draws from unique rows only, so a tiled pool that LOOKS big enough but
+    lacks distinct images must raise, and a fitting one must evaluate."""
+    from image_generation_tpu.app.evaluate import image_space_metrics
+
+    t, _ = trained
+    proxy = _TiledProxy(t)  # 64 unique images presented as 128
+    # 2*48 = 96 <= 128 raw rows, but only ~64 distinct -> loud failure
+    with pytest.raises(ValueError, match="distinct data"):
+        image_space_metrics(proxy, num_reads=48, n_rounds=1)
+    # within the unique pool the metric evaluates normally
+    m = image_space_metrics(proxy, num_reads=16, n_rounds=1, seed=5)
+    assert np.isfinite(m["image_mmd_floor"])

@@ -228,3 +228,18 @@ def test_step_selects_pallas_update_on_request(medium):
         cfg_rs.replace(USE_PALLAS="off"), graph, 4, plan, mesh=mesh
     )
     assert fns_rs_off.sampler_impl == "xla_graph_sharded"
+
+
+def test_pick_tile_grouped_rejects_vmem_blowout():
+    """The row-seeded kernel's tile can never shrink below one 8-row seed
+    group: a color-class span too wide for that inside the VMEM budget must
+    fail loudly at trace time (the default kernel handles it at tile=1)."""
+    from image_generation_tpu.ops.gibbs_graph_sharded_pallas import (
+        _ROW_SEED_GROUP,
+        _pick_tile_grouped,
+    )
+
+    t = _pick_tile_grouped(64, 512)
+    assert t % _ROW_SEED_GROUP == 0 and 64 % t == 0
+    with pytest.raises(ValueError, match="PLRNG_ROW_SEED"):
+        _pick_tile_grouped(8, 100_000)

@@ -52,7 +52,7 @@ def test_concurrent_requests_share_dispatches():
             r.result = {"served_with": len(group)}
 
     c = _Coalescer(run_group, max_batch=8)
-    reqs = [_Request("model_a", False) for _ in range(6)]
+    reqs = [_Request("model_a") for _ in range(6)]
     t0 = threading.Thread(
         target=lambda: (time.sleep(0.3), gate.set())
     )
@@ -82,7 +82,7 @@ def test_groups_are_not_mixed_and_capped():
             r.result = r.group
 
     c = _Coalescer(run_group, max_batch=3)
-    reqs = [_Request("m1" if i % 2 else "m2", False) for i in range(8)]
+    reqs = [_Request("m1" if i % 2 else "m2") for i in range(8)]
     results, errors = _fire(c, reqs)
     assert all(e is None for e in errors)
     for group_keys in seen:
@@ -98,7 +98,7 @@ def test_single_request_is_a_batch_of_one():
             r.result = len(group)
 
     c = _Coalescer(run_group, max_batch=8)
-    out = c.submit(_Request("m", False))
+    out = c.submit(_Request("m"))
     assert out == 1
     assert c.dispatches == 1 and c.served == 1
 
@@ -117,8 +117,8 @@ def test_group_failure_surfaces_to_each_request_and_recovers():
 
     c = _Coalescer(run_group, max_batch=8)
     with pytest.raises(ValueError, match="device fell over"):
-        c.submit(_Request("m", False))
-    assert c.submit(_Request("m", False)) == "ok"
+        c.submit(_Request("m"))
+    assert c.submit(_Request("m")) == "ok"
 
 
 def test_late_arrivals_get_served_by_standing_leader():
@@ -135,7 +135,7 @@ def test_late_arrivals_get_served_by_standing_leader():
 
     c = _Coalescer(run_group, max_batch=8)
     first = threading.Thread(
-        target=lambda: c.submit(_Request("m", False)), daemon=True
+        target=lambda: c.submit(_Request("m")), daemon=True
     )
     first.start()
     assert started.wait(5)
@@ -143,7 +143,7 @@ def test_late_arrivals_get_served_by_standing_leader():
     late_result = {}
 
     def late():
-        late_result["v"] = c.submit(_Request("m", False))
+        late_result["v"] = c.submit(_Request("m"))
 
     lt = threading.Thread(target=late, daemon=True)
     lt.start()
@@ -176,13 +176,13 @@ def test_leader_hands_off_after_own_request_served():
     c = _Coalescer(run_group, max_batch=1, window_s=0)
     results = {}
     ta = threading.Thread(
-        target=lambda: results.__setitem__("a", c.submit(_Request("m", False))),
+        target=lambda: results.__setitem__("a", c.submit(_Request("m"))),
         daemon=True,
     )
     ta.start()
     assert started[0].wait(5)  # leader A is mid-dispatch with its own request
     tb = threading.Thread(
-        target=lambda: results.__setitem__("b", c.submit(_Request("m", False))),
+        target=lambda: results.__setitem__("b", c.submit(_Request("m"))),
         daemon=True,
     )
     tb.start()
