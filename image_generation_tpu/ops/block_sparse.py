@@ -37,7 +37,7 @@ matrix on one device).
 
 from __future__ import annotations
 
-import functools
+import weakref
 from typing import Optional, Tuple
 
 import jax
@@ -97,14 +97,23 @@ def chunk_starts(n_pad: int, chunk: int) -> Tuple[int, ...]:
     return tuple(starts)
 
 
-@functools.lru_cache(maxsize=None)
+# weak-keyed like gibbs._class_spans_cache: an lru_cache would pin every
+# plan (and its numpy edge lists) for process lifetime — unbounded growth in
+# a warm server that swaps models (each Trainer.load builds a NEW plan)
+_chunk_rows_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def color_chunk_rows(plan, chunk: int) -> Tuple[Tuple[int, ...], ...]:
     """For each color block c: the sorted chunk indices whose rows couple
     into c's columns (i.e. the nonzero row-chunks of A[:, c0:c1]).
 
-    Static data derived from the plan's permuted edge list — cached per
-    (plan, chunk) since plans hash by identity.
+    Static data derived from the plan's permuted edge list — weak-cached
+    per plan (keyed by chunk within it); plans hash by identity.
     """
+    per_plan = _chunk_rows_cache.setdefault(plan, {})
+    hit = per_plan.get(chunk)
+    if hit is not None:
+        return hit
     starts = chunk_starts(plan.n_pad, chunk)
     n_chunks = len(starts)
     last_owned = starts[-1] if n_chunks == 1 else starts[-2] + chunk
@@ -122,9 +131,11 @@ def color_chunk_rows(plan, chunk: int) -> Tuple[Tuple[int, ...], ...]:
     pj = np.asarray(plan.perm_edge_j)
     occ[block_of[pj], owner(pi)] = True
     occ[block_of[pi], owner(pj)] = True
-    return tuple(
+    result = tuple(
         tuple(np.nonzero(occ[c])[0].tolist()) for c in range(len(plan.blocks))
     )
+    per_plan[chunk] = result
+    return result
 
 
 def chunk_occupancy(plan, chunk: int = 256) -> float:
@@ -273,13 +284,28 @@ def gibbs_sweeps_block_sparse(
     """XLA block-sparse colored sweeps — same contract as
     ops.gibbs.gibbs_sweeps, reading only occupied coupling chunks.
 
-    ``matmul_dtype`` applies to the SPIN side of the per-color matmul (the
-    panels are already stored in their resident dtype); int8 panels run the
-    exact int32-accumulation path regardless.
+    ``matmul_dtype`` is consistency-CHECKED, not applied: the panels were
+    stored in their resident dtype at pack time (build_sampler_model casts
+    to the resolved matmul dtype BEFORE pack_coupling) and the spin side is
+    carried in that same dtype below, so a per-call cast here would only
+    add traffic — but a caller packing f32 panels and asking for bf16 math
+    must fail loudly rather than silently get f32.  int8 panels run the
+    exact int32-accumulation path regardless (``matmul_dtype`` ignored,
+    like the dense QuantCoupling path).
     """
     from image_generation_tpu.ops.gibbs import class_spans
 
     assert plan is bsc.plan, "plan/coupling mismatch"
+    if (
+        matmul_dtype is not None
+        and not bsc.quantized
+        and bsc.panels.dtype != jnp.dtype(matmul_dtype)
+    ):
+        raise ValueError(
+            f"block-sparse panels are resident {bsc.panels.dtype} but "
+            f"matmul_dtype={jnp.dtype(matmul_dtype)} was requested — pack "
+            "the coupling in the target dtype (build_sampler_model does)"
+        )
     beta = jnp.asarray(beta, dtype=jnp.float32)
     beta_col = beta if beta.ndim == 0 else beta[:, None]
     chains = spins_p.shape[0]

@@ -32,6 +32,7 @@ accumulation is order-free) — pinned in tests/test_block_sparse_sharded.py.
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -103,14 +104,24 @@ def _local_starts(l_loc: int, chunk: int) -> Tuple[int, ...]:
     return chunk_starts(l_loc, chunk)
 
 
-@functools.lru_cache(maxsize=None)
+# weak-keyed like gibbs._class_spans_cache / block_sparse._chunk_rows_cache:
+# an lru_cache would pin every plan for process lifetime (warm servers swap
+# models; each Trainer.load builds a NEW plan)
+_sharded_meta_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def sharded_chunk_meta(plan, n_shards: int, chunk: int) -> ShardedChunkMeta:
     """Static packing layout for ``plan`` row-sharded ``n_shards`` ways.
 
-    Pure plan-derived numpy (cached per (plan, n_shards, chunk) — plans hash
-    by identity).  Requires chunk ≤ n_pad/n_shards and n_shards | n_pad
-    (callers gate on ``supports_sharded_block_sparse``).
+    Pure plan-derived numpy (weak-cached per plan, keyed by
+    (n_shards, chunk) within it — plans hash by identity).  Requires
+    chunk ≤ n_pad/n_shards and n_shards | n_pad (callers gate on
+    ``supports_sharded_block_sparse``).
     """
+    per_plan = _sharded_meta_cache.setdefault(plan, {})
+    hit = per_plan.get((n_shards, chunk))
+    if hit is not None:
+        return hit
     l_loc = plan.n_pad // n_shards
     starts = _local_starts(l_loc, chunk)
     n_local = len(starts)
@@ -149,7 +160,9 @@ def sharded_chunk_meta(plan, n_shards: int, chunk: int) -> ShardedChunkMeta:
                 )
         base += kmax[c]
     occupancy = total / max(n_colors * n_local, 1)
-    return ShardedChunkMeta(kmax, offs, zero_head, occupancy)
+    meta = ShardedChunkMeta(kmax, offs, zero_head, occupancy)
+    per_plan[(n_shards, chunk)] = meta
+    return meta
 
 
 def supports_sharded_block_sparse(plan, n_shards: int, chunk: int) -> bool:

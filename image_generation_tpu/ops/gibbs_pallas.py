@@ -11,14 +11,18 @@ resident in VMEM:
     Bernoulli draws from the on-core PRNG (pltpu.prng_random_bits), and a
     static sub-slice store — no gathers, no scatters, no HBM traffic inside
     the sweep loop;
-  * the spin buffer is input/output aliased, so persistent (PCD) chains
-    update in place.
+  * spins ride separate in/out VMEM buffers (~2 · block · n_pad · 4B); the
+    multi-sweep fusion still means ONE HBM round-trip per refresh, not one
+    per color step.
 
-VMEM budget: coupling (n_pad² · 4B) + spins (chains · n_pad · 4B) + a fields
-block.  With the ~16 MB/core VMEM this covers n_pad ≤ ~1536 at 256 chains —
-the reference's full operating range (256-512 latents).  Larger graphs use
-the chain-blocked grid (each program instance takes a slice of chains;
-coupling is re-streamed per instance) or fall back to the XLA path.
+VMEM budget: coupling (n_pad² · itemsize — 4B f32, 2B bf16, 1B int8) +
+spins (2 · block · n_pad · 4B in/out; int8 under quantization) + a fields
+block.  With the ~16 MB/core VMEM this covers n_pad ≤ ~1536 at 256 chains
+in f32 (≥ 2048 in bf16/int8, which ``supported_by_pallas`` accounts via
+``coupling_itemsize``) — the reference's full operating range (256-512
+latents).  Larger graphs use the chain-blocked grid (each program instance
+takes a slice of chains; coupling is re-streamed per instance) or fall
+back to the XLA path.
 
 Correctness is validated against exact enumeration (interpret mode on CPU,
 tests/test_gibbs_pallas.py) and against the XLA sampler on TPU.
@@ -53,17 +57,27 @@ def _pick_block(n_chains: int, chain_block: int) -> int:
     return b
 
 
-def supported_by_pallas(plan: GibbsPlan, n_chains: int, chain_block: int = 256) -> bool:
+def supported_by_pallas(
+    plan: GibbsPlan,
+    n_chains: int,
+    chain_block: int = 256,
+    coupling_itemsize: int = 4,
+) -> bool:
     """Whether the single-program VMEM layout fits this problem.
 
     ``n_chains`` must be the EFFECTIVE per-call chain count (PT mode flattens
     the ladder to PT_NUM_BETAS·NUM_READS rows) and the block estimate mirrors
-    the kernel's actual divisor-based block choice.
+    the kernel's actual divisor-based block choice.  ``coupling_itemsize``
+    must match the resident coupling dtype (the kernel stores it in the
+    matmul dtype: 4 f32, 2 bf16, 1 int8) — budgeting bf16/int8 problems at
+    4B would bounce VMEM-sized problems to the slower HBM-streaming kernel.
+    Spins are budgeted at f32 (their int8-under-quantization case only
+    over-counts — safe direction).
     """
     if plan.n_pad % 128 != 0:
         return False
     block = _pick_block(n_chains, chain_block)
-    coupling_bytes = plan.n_pad * plan.n_pad * 4
+    coupling_bytes = plan.n_pad * plan.n_pad * coupling_itemsize
     spins_bytes = 2 * block * plan.n_pad * 4  # in + out buffers
     fields_bytes = block * max(c1 - c0 for c0, _, c1 in plan.blocks) * 4
     return coupling_bytes + spins_bytes + 3 * fields_bytes < _VMEM_BUDGET
@@ -260,7 +274,10 @@ def gibbs_sweeps_pallas(
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=grid * n_sweeps * flops_per_sweep,
-            bytes_accessed=grid * (n_pad * n_pad * 4 + 2 * block * n_pad * 4),
+            bytes_accessed=grid * (
+                n_pad * n_pad * coupling_in.dtype.itemsize
+                + 2 * block * n_pad * jnp.dtype(spins_dtype).itemsize
+            ),
             transcendentals=grid * n_sweeps * block * n_pad,
         ),
         interpret=interpret,

@@ -222,30 +222,46 @@ def make_train_fns(
     use_pallas = cfg.USE_PALLAS == "on" or (
         cfg.USE_PALLAS == "auto" and jax.default_backend() == "tpu"
     )
-    if isinstance(cfg.PT_NUM_BETAS, str):
+    pt_mode = cfg.SAMPLER == "pt"
+    if pt_mode and isinstance(cfg.PT_NUM_BETAS, str):
         # fail fast with the real cause: 'auto' × NUM_READS below would be
-        # string repetition and die far downstream with a shape error
+        # string repetition and die far downstream with a shape error.
+        # Outside PT mode the knob is inert — a gibbs-mode config carrying
+        # PT_NUM_BETAS='auto' (e.g. --sampler gibbs with a PT-tuned YAML)
+        # must not crash
         raise ValueError(
             "PT_NUM_BETAS='auto' must be resolved to a concrete ladder "
             "before step functions are built — the Trainer does this at "
             "train_init/load (Trainer._resolve_auto_ladder); direct "
             "make_train_fns callers must pass an explicit size/PT_BETAS"
         )
-    # VMEM-resident kernel when the coupling matrix fits on-chip; the
+    int8_sampler = cfg.SAMPLER_MATMUL_DTYPE == "int8"
+    # bf16 pays only when coupling-matrix traffic dominates the cast cost;
+    # int8 quantization is carried by the QuantCoupling the cached sampler
+    # model stores (ops/quant.py — every sweep/energy impl branches on it),
+    # so no cast dtype is threaded (policy lives on TrainingConfig so the
+    # tune-pt CLI resolves the identical model)
+    mm_dtype = cfg.resolved_sampler_matmul_dtype(plan.n_pad)
+    # VMEM-resident kernel when the coupling matrix fits on-chip IN ITS
+    # RESIDENT DTYPE (bf16/int8 halve/quarter the footprint); the
     # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins).
     # PT mode flattens the ladder, so the effective chain count is T·C.
-    _eff_chains = (
-        cfg.PT_NUM_BETAS * cfg.NUM_READS if cfg.SAMPLER == "pt" else cfg.NUM_READS
+    _eff_chains = cfg.PT_NUM_BETAS * cfg.NUM_READS if pt_mode else cfg.NUM_READS
+    _c_item = 1 if int8_sampler else (
+        jnp.dtype(mm_dtype).itemsize if mm_dtype is not None else 4
     )
-    pallas_vmem = supported_by_pallas(plan, _eff_chains)
-    pt_mode = cfg.SAMPLER == "pt"
+    pallas_vmem = supported_by_pallas(
+        plan, _eff_chains, coupling_itemsize=_c_item
+    )
     # geometric spacing by default; PT_BETAS plugs in a tuned ladder (e.g.
     # the equal-barrier schedule from ops/pt_tune.tune_pt_betas).  This is
     # the INITIAL ladder: the live one is a TrainState leaf (pt_betas), a
     # traced argument of every pt_round — so PT_ADAPT's between-epoch
     # re-spacing (training/trainer.py) updates rung values with ZERO
     # recompilation, and checkpoints carry the adapted ladder.
-    betas0 = jnp.asarray(cfg.initial_pt_betas(), jnp.float32)
+    betas0 = (
+        jnp.asarray(cfg.initial_pt_betas(), jnp.float32) if pt_mode else None
+    )  # only PT paths read it; initial_pt_betas raises on unresolved 'auto'
     # multi-chip: shard_map the Pallas kernel over the chain rows when they
     # tile the mesh exactly; otherwise the XLA sampler (which GSPMD
     # partitions on its own from the chains' sharding) keeps correctness.
@@ -257,13 +273,6 @@ def make_train_fns(
     # the chains don't tile the mesh, drop to the XLA sampler, which GSPMD
     # partitions from the chains' sharding on its own.
     pallas_ok = use_pallas and (not sharded_ctx or pallas_sharded)
-    int8_sampler = cfg.SAMPLER_MATMUL_DTYPE == "int8"
-    # bf16 pays only when coupling-matrix traffic dominates the cast cost;
-    # int8 quantization is carried by the QuantCoupling the cached sampler
-    # model stores (ops/quant.py — every sweep/energy impl branches on it),
-    # so no cast dtype is threaded (policy lives on TrainingConfig so the
-    # tune-pt CLI resolves the identical model)
-    mm_dtype = cfg.resolved_sampler_matmul_dtype(plan.n_pad)
     # graph partitioning (ops/gibbs_graph_sharded.py): coupling rows + spin
     # columns sharded over the mesh's "chain" axis — the beyond-single-chip
     # -HBM regime. Composes with PT: the temperature ladder shards over
@@ -410,6 +419,21 @@ def make_train_fns(
                 key, hp, coupling_p, plan_, chains, n_sweeps, mesh, beta,
                 matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
                 pallas_update=gs_pallas_update,
+            )
+        if (
+            pallas_ok
+            and pallas_sharded
+            and chains.shape[0] % mesh.devices.size
+        ):
+            # the shard_map wrapper was selected from the TRAINING chain
+            # count (_eff_chains), but generation/eval may call with ANY
+            # num_reads — a row count that doesn't tile the mesh can't go
+            # through shard_map, so this call drops to the XLA sweep
+            # (GSPMD partitions it from the chains' sharding), the same
+            # rule the build-time decision applies
+            return gibbs_sweeps(
+                key, hp, coupling_p, plan_, chains, n_sweeps, beta,
+                matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
             )
         if pallas_ok and pallas_vmem:
             if pallas_sharded:

@@ -334,6 +334,7 @@ class Trainer:
         checkpoint_dir: Optional[str] = None,
         batch_cb: Optional[Callable[[int, int, int], None]] = None,
         epoch_chunks: int = 1,
+        start_epoch: Optional[int] = None,
     ) -> dict:
         """Full training run (the reference's ``execute_training`` epoch loop,
         src/utils/callback_helpers.py:144-221, minus the UI file writes which
@@ -341,13 +342,22 @@ class Trainer:
 
         ``metrics_log``: optional observability.MetricsLog for per-epoch JSONL;
         ``profile_dir``: optional jax.profiler trace output directory.
+        ``start_epoch``: first epoch index to run — default derives it from
+        the restored opt_step (opt_step // n_batches), so a
+        ``resume_native``-d run continues at the epoch it died in rather
+        than restarting the epoch-indexed schedules (the reference's
+        ``train_grbm = epoch < 6`` gate must not re-fire on a model whose
+        GRBM froze before the interruption).  Fresh runs and tune mode
+        start at opt_step 0, so the derivation is the identity there.
         """
         from image_generation_tpu.training.observability import profile
 
         if not self._init_done or self._n_epochs != n_epochs:
             self.train_init(n_epochs)
+        if start_epoch is None:
+            start_epoch = int(self.state.opt_step) // self.n_batches
         with profile(profile_dir):
-            for epoch in range(n_epochs):
+            for epoch in range(start_epoch, n_epochs):
                 t0 = time.perf_counter()
                 cb = (
                     (lambda done, nb, e=epoch: batch_cb(e, done, nb))
@@ -467,7 +477,11 @@ class Trainer:
 
         from image_generation_tpu.io.native_ckpt import latest_step, restore_train_state
 
-        if not self._init_done:
+        if not self._init_done or self._n_epochs != n_epochs:
+            # an already-initialized trainer may be built for a DIFFERENT
+            # total-epochs budget: the LR schedules bake in total_steps, so
+            # reusing them would silently train the restored run at the
+            # wrong (clipped) learning rate — rebuild, then restore over it
             self.train_init(n_epochs)
         # the checkpoint stores non-derivable state only; rebuild_cache
         # recomputes (sampler_h, sampler_coupling) from the restored

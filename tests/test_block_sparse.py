@@ -363,3 +363,55 @@ def test_sharded_hbm_kernel_block_sparse_matches_single_device():
     np.testing.assert_array_equal(
         np.asarray(sharded), np.concatenate([np.asarray(p) for p in parts])
     )
+
+
+def test_sweep_rejects_mismatched_matmul_dtype(medium):
+    """The packed panels carry the matmul dtype from pack time; a caller
+    asking for DIFFERENT math must fail loudly instead of silently getting
+    the panels' dtype (ops/block_sparse.gibbs_sweeps_block_sparse)."""
+    _, plan, hp, cp = medium
+    bsc = pack_coupling(plan, cp.astype(jnp.float32), chunk=8)
+    s0 = random_spins(jax.random.PRNGKey(0), plan, 4)
+    with pytest.raises(ValueError, match="resident"):
+        gibbs_sweeps_block_sparse(
+            jax.random.PRNGKey(1), hp, bsc, plan, s0, 1,
+            matmul_dtype=jnp.bfloat16,
+        )
+    # matching / None dtypes pass
+    out = gibbs_sweeps_block_sparse(
+        jax.random.PRNGKey(1), hp, bsc, plan, s0, 1,
+        matmul_dtype=jnp.float32,
+    )
+    assert out.shape == s0.shape
+
+
+def test_plan_caches_do_not_pin_plans(medium):
+    """The packing-layout caches are weak-keyed: dropping a plan must free
+    its cache entries (warm servers swap models; an lru_cache here would
+    grow without bound — same contract as gibbs._class_spans_cache)."""
+    import gc
+
+    import networkx as nx
+
+    from image_generation_tpu.ops.block_sparse import _chunk_rows_cache
+    from image_generation_tpu.ops.block_sparse_sharded import (
+        _sharded_meta_cache,
+        sharded_chunk_meta,
+    )
+
+    import weakref
+
+    G = nx.random_regular_graph(4, 32, seed=9)
+    G = nx.relabel_nodes(G, {v: i for i, v in enumerate(sorted(G.nodes()))})
+    graph = GRBMGraph.from_networkx(G)
+    plan = build_plan(graph, pad_to=8)
+    color_chunk_rows(plan, 8)
+    sharded_chunk_meta(plan, 2, 8)
+    assert plan in _chunk_rows_cache and plan in _sharded_meta_cache
+    probe = weakref.ref(plan)
+    del plan
+    gc.collect()
+    assert probe() is None, "a packing cache still pins the dropped plan"
+    # a NEW equal plan recomputes (and re-caches) without error
+    plan2 = build_plan(graph, pad_to=8)
+    assert color_chunk_rows(plan2, 8) == color_chunk_rows(plan2, 8)

@@ -119,3 +119,18 @@ def test_pallas_matches_xla_sampler_distribution(tiny):
     mp = np.asarray(to_original(plan, out_p)).mean(axis=0)
     mx = np.asarray(to_original(plan, out_x)).mean(axis=0)
     np.testing.assert_allclose(mp, mx, atol=0.12)
+
+
+def test_supported_predicate_accounts_resident_dtype():
+    """supported_by_pallas budgets the coupling at its RESIDENT itemsize:
+    a bf16/int8 problem that fits VMEM must not be bounced to the slower
+    HBM-streaming kernel by an f32-sized estimate (training/step.py passes
+    the resolved matmul dtype's itemsize)."""
+    from types import SimpleNamespace
+
+    plan = SimpleNamespace(n_pad=2048, blocks=((0, 0, 128),))
+    # f32: 2048²·4 = 16.8 MB coupling alone busts the 12 MB budget
+    assert not supported_by_pallas(plan, 128, coupling_itemsize=4)
+    # bf16: 8.4 MB coupling + 2·128·2048·4 spins + fields ≈ 10.9 MB — fits
+    assert supported_by_pallas(plan, 128, coupling_itemsize=2)
+    assert supported_by_pallas(plan, 128, coupling_itemsize=1)

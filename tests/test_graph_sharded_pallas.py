@@ -156,8 +156,10 @@ def test_pick_tile_grouped():
         _pick_tile_grouped,
     )
 
+    # 65536 is the widest span whose 8-row minimum tile fits the VMEM
+    # budget; wider spans raise (test_pick_tile_grouped_rejects_vmem_blowout)
     for c_loc in (8, 24, 256, 2048):
-        for width in (128, 2000, 16384, 120000):
+        for width in (128, 2000, 16384, 65536):
             t = _pick_tile_grouped(c_loc, width)
             assert t % 8 == 0 and c_loc % t == 0
             # one extra uniforms scratch buffer vs _pick_tile's 3

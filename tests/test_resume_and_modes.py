@@ -253,3 +253,47 @@ def test_heaviside_requires_single_replica():
     t = Trainer(config=cfg(LATENT_TO_DISCRETE="heaviside", N_REPLICAS=2))
     with pytest.raises(ValueError):
         t.train_init(n_epochs=1)
+
+
+def test_resume_continues_at_the_right_epoch(tmp_path):
+    """train() after resume_native must continue at the epoch the run died
+    in — NOT restart at 0, which would re-fire the epoch-indexed reference
+    schedule (train_grbm = epoch < 6) on a model whose GRBM had moved past
+    it (training/trainer.py train start_epoch derivation)."""
+    t = Trainer(config=cfg())
+    t.train_init(3)
+    t.train_epoch(0)
+    t.save_native(tmp_path / "ck")
+
+    t2 = Trainer(config=cfg())
+    step = t2.resume_native(tmp_path / "ck", n_epochs=3)
+    assert step == t2.n_batches  # one epoch's optimizer steps restored
+    ran = []
+    t2.train(3, epoch_cb=lambda e, stats: ran.append(e))
+    assert ran == [1, 2]  # epoch 0 is NOT re-run
+    # explicit override still honored
+    ran2 = []
+    t3 = Trainer(config=cfg())
+    t3.resume_native(tmp_path / "ck", n_epochs=3)
+    t3.train(3, epoch_cb=lambda e, stats: ran2.append(e), start_epoch=2)
+    assert ran2 == [2]
+
+
+def test_resume_native_rebuilds_for_new_epoch_budget(tmp_path):
+    """resume_native on a trainer already initialized for a DIFFERENT
+    n_epochs must rebuild the step functions: the LR schedules bake in
+    total_steps, so reusing them would silently train at the clipped final
+    LR (training/trainer.py resume_native guard)."""
+    t = Trainer(config=cfg())
+    t.train_init(1)
+    t.train_epoch(0)
+    t.save_native(tmp_path / "ck2")
+
+    t2 = Trainer(config=cfg())
+    t2.train_init(1)  # pre-initialized for the WRONG budget
+    t2.resume_native(tmp_path / "ck2", n_epochs=4)
+    assert t2._n_epochs == 4
+    # the rebuilt schedule differs from the 1-epoch one past its horizon
+    lr_mid = float(t2.fns.dvae_lr(2 * t2.n_batches))
+    lr_end = float(t2.fns.dvae_lr(4 * t2.n_batches - 1))
+    assert lr_mid > lr_end

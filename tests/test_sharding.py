@@ -269,3 +269,25 @@ def test_large_dense_tensor_parallel(setup):
     # the updated kernel keeps the TP sharding across the step
     out_k = s2.dvae_params["decoder"]["increase_latent_dim"]["kernel"]
     assert out_k.sharding.spec == spec
+
+
+def test_sample_with_non_tiling_num_reads_on_mesh():
+    """The Pallas shard_map wrapper is selected from the TRAINING chain
+    count; a generation call whose num_reads does not tile the mesh must
+    drop to the XLA sweep per-shape instead of crashing in shard_map
+    (training/step.py sweeps_fn).  On CPU the XLA fallback also proves the
+    Pallas kernel was NOT entered (a non-interpret pallas_call cannot run
+    here)."""
+    cfg = tiny_cfg().replace(USE_PALLAS="on")  # NUM_READS=64 tiles 8
+    g, _ = select_latent_graph(zephyr_graph(3), cfg.N_LATENTS, 7)
+    graph = GRBMGraph.from_networkx(g)
+    mesh = create_mesh(8)
+    fns = make_train_fns(cfg, graph, total_steps=10, mesh=mesh)
+    assert fns.sampler_impl.startswith("pallas")
+    # grbm_params directly (fns.init would burn in the TRAINING chain count
+    # through the real Pallas kernel, which cannot execute on CPU — exactly
+    # why this test proves the non-tiling call avoided it)
+    grbm_params = graph.init_params(jax.random.PRNGKey(1))
+    spins = fns.sample(jax.random.PRNGKey(2), grbm_params, 10, 2)
+    assert spins.shape == (10, graph.n)
+    assert set(np.unique(np.asarray(spins))) <= {-1.0, 1.0}
