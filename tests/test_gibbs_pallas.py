@@ -121,6 +121,31 @@ def test_pallas_matches_xla_sampler_distribution(tiny):
     np.testing.assert_allclose(mp, mx, atol=0.12)
 
 
+def test_pallas_kernel_bf16_matches_exact_moments(tiny):
+    """bf16-resident coupling through the VMEM kernel (the default-selected
+    path at n_pad >= 2048 now that supported_by_pallas budgets the resident
+    itemsize) must not shift the stationary distribution — the XLA sweep's
+    bf16 contract (tests/test_gibbs.py) extended to the kernel."""
+    graph, h, j = tiny
+    plan = build_plan(graph, pad_to=128)
+    hp, cp = permuted_model(plan, h, j)
+    key = jax.random.PRNGKey(21)
+    k1, k2 = jax.random.split(key)
+    s0 = random_spins(k1, plan, 512)
+    u = _uniforms(k2, 60, 512, plan.n_pad)
+    out = gibbs_sweeps_pallas(
+        k2, hp, cp, plan, s0, n_sweeps=60, matmul_dtype=jnp.bfloat16,
+        interpret=True, uniforms=u,
+    )
+    s = np.asarray(to_original(plan, out), np.float64)
+    assert set(np.unique(s)) <= {-1.0, 1.0}
+    m1 = s.mean(axis=0)
+    m2 = (s[:, graph.edge_i] * s[:, graph.edge_j]).mean(axis=0)
+    e1, e2 = exact_moments(np.asarray(h), graph.edge_i, graph.edge_j, np.asarray(j))
+    np.testing.assert_allclose(m1, e1, atol=0.15)
+    np.testing.assert_allclose(m2, e2, atol=0.15)
+
+
 def test_supported_predicate_accounts_resident_dtype():
     """supported_by_pallas budgets the coupling at its RESIDENT itemsize:
     a bf16/int8 problem that fits VMEM must not be bounced to the slower
