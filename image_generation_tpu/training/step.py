@@ -247,11 +247,15 @@ def make_train_fns(
     # HBM-streaming kernel otherwise (1.6× over the XLA path at 5640 spins).
     # PT mode flattens the ladder, so the effective chain count is T·C.
     _eff_chains = cfg.PT_NUM_BETAS * cfg.NUM_READS if pt_mode else cfg.NUM_READS
-    _c_item = 1 if int8_sampler else (
+    # the ONE spelling of the resident-coupling itemsize: the cached
+    # sampler_coupling is stored int8 (QuantCoupling) / the matmul dtype /
+    # f32 — BOTH the VMEM gate here and the beyond-HBM auto gate below
+    # size against it
+    _coupling_itemsize = 1 if int8_sampler else (
         jnp.dtype(mm_dtype).itemsize if mm_dtype is not None else 4
     )
     pallas_vmem = supported_by_pallas(
-        plan, _eff_chains, coupling_itemsize=_c_item
+        plan, _eff_chains, coupling_itemsize=_coupling_itemsize
     )
     # geometric spacing by default; PT_BETAS plugs in a tuned ladder (e.g.
     # the equal-barrier schedule from ops/pt_tune.tune_pt_betas).  This is
@@ -301,13 +305,8 @@ def make_train_fns(
             f"axis fits (e.g. --mesh 1x8 / create_mesh(n, shape=(rows, "
             f"graph))) or use GRAPH_SHARDED='off'."
         )
-    # the auto gate is sized on the coupling's RESIDENT footprint — the
-    # cached sampler_coupling is stored in the matmul dtype (bf16 for
-    # n_pad ≥ 2048, build_sampler_model; int8 when quantized), not
-    # construction-time f32
-    _coupling_itemsize = (
-        1 if int8_sampler else jnp.dtype(mm_dtype).itemsize if mm_dtype else 4
-    )
+    # the auto gate is sized on the coupling's RESIDENT footprint
+    # (_coupling_itemsize above), not construction-time f32
     graph_sharded = graph_tiles and (
         cfg.GRAPH_SHARDED == "on"
         or (
@@ -354,14 +353,16 @@ def make_train_fns(
                 <= 0.75
             )
     if block_sparse and not graph_sharded and pallas_ok and pallas_vmem:
-        if cfg.SWEEP_BLOCK_SPARSE == "on":
-            # honoring the explicit request: the packed form replaces the
-            # dense cache, which the VMEM kernel needs — use the streaming
-            # kernel (auto never lands here: its n_pad gate excludes
-            # VMEM-sized problems)
-            pallas_vmem = False
-        else:
-            block_sparse = False
+        # the packed form replaces the dense cache, which the VMEM kernel
+        # needs — block-sparse wins the conflict and the sweep streams the
+        # panels from HBM.  Measured at the overlap the resident-dtype
+        # VMEM gate opened (n_pad 2048 bf16, occupancy 0.31 grid, the only
+        # regime where 'auto' engages at a VMEM-sized shape): packed
+        # streaming 0.75 ms vs dense-VMEM 0.91 ms per refresh
+        # (runs/vmem_midsize_bench_grid.json) — consistent with the ≤0.75
+        # occupancy auto gate (QPU graphs are denser than that here and
+        # keep the dense VMEM kernel).
+        pallas_vmem = False
     gs_pallas_update = False
     if graph_sharded:
         # composes with int8: the quantized coupling's int8 rows shard the
@@ -435,7 +436,15 @@ def make_train_fns(
                 key, hp, coupling_p, plan_, chains, n_sweeps, beta,
                 matmul_dtype=mm_dtype, track_delta_e=track_delta_e,
             )
-        if pallas_ok and pallas_vmem:
+        if pallas_ok and pallas_vmem and supported_by_pallas(
+            plan_, chains.shape[0], coupling_itemsize=_coupling_itemsize
+        ):
+            # per-SHAPE re-check, like the mesh-tiling rule above: the
+            # build-time pallas_vmem came from the TRAINING chain count,
+            # but a generation/serving call with more chains (coalesced
+            # requests fold into this dimension) can pick a bigger chain
+            # block and bust the VMEM budget the gate enforces — such
+            # calls stream from HBM instead
             if pallas_sharded:
                 from image_generation_tpu.ops.gibbs_pallas import (
                     gibbs_sweeps_pallas_sharded,

@@ -142,6 +142,7 @@ class Trainer:
             self._load_dataset()
 
         self._n_epochs = n_epochs
+        self._resume_start_epoch = 0  # set by resume_native after restore
         self._resolve_auto_ladder(old_state.grbm_params if keep else None)
         total_steps = n_epochs * self.n_batches
         self.fns = make_train_fns(
@@ -342,20 +343,22 @@ class Trainer:
 
         ``metrics_log``: optional observability.MetricsLog for per-epoch JSONL;
         ``profile_dir``: optional jax.profiler trace output directory.
-        ``start_epoch``: first epoch index to run — default derives it from
-        the restored opt_step (opt_step // n_batches), so a
-        ``resume_native``-d run continues at the epoch it died in rather
-        than restarting the epoch-indexed schedules (the reference's
+        ``start_epoch``: first epoch index to run — defaults to the epoch a
+        ``resume_native``-d run died in (restored opt_step // n_batches,
+        recorded AT restore), so a resumed run continues there rather than
+        restarting the epoch-indexed schedules (the reference's
         ``train_grbm = epoch < 6`` gate must not re-fire on a model whose
-        GRBM froze before the interruption).  Fresh runs and tune mode
-        start at opt_step 0, so the derivation is the identity there.
+        GRBM froze before the interruption).  Non-resumed trainers always
+        start at 0 — calling train() again on a finished trainer re-runs
+        it (the derivation is deliberately NOT taken from the live
+        opt_step, which would make that second call a silent no-op).
         """
         from image_generation_tpu.training.observability import profile
 
         if not self._init_done or self._n_epochs != n_epochs:
             self.train_init(n_epochs)
         if start_epoch is None:
-            start_epoch = int(self.state.opt_step) // self.n_batches
+            start_epoch = getattr(self, "_resume_start_epoch", 0)
         with profile(profile_dir):
             for epoch in range(start_epoch, n_epochs):
                 t0 = time.perf_counter()
@@ -495,6 +498,12 @@ class Trainer:
         losses_file = _Path(directory) / f"losses_step_{step:08d}.json"
         if losses_file.exists():
             self.losses = _json.loads(losses_file.read_text())
+        # continue where the run died: the next train() starts at this
+        # epoch (NOT a generic opt_step derivation — a finished trainer's
+        # second train() call must re-run, not silently no-op)
+        self._resume_start_epoch = int(self.state.opt_step) // max(
+            self.n_batches, 1
+        )
         return int(self.state.opt_step)
 
     # ------------------------------------------------------------------

@@ -64,17 +64,35 @@ def main():
     ap.add_argument("--chains", type=int, default=128)
     ap.add_argument("--sweeps", type=int, default=4)
     ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument(
+        "--graph", choices=["pegasus", "grid"], default="pegasus",
+        help="'grid' = 45x45 lattice (n_pad 2048, chunk occupancy 0.31): "
+        "the low-occupancy regime where SWEEP_BLOCK_SPARSE='auto' engages "
+        "at a VMEM-sized shape — adds the packed-sweep variants and "
+        "settles the dense-VMEM vs packed-streaming selection policy "
+        "(training/step.py); QPU graphs are >0.75 occupancy at this size, "
+        "so auto never sees the conflict there",
+    )
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform}:{getattr(dev, 'device_kind', '?')}")
-    # 1600 of P10 Pegasus's 2160 sites plan to n_pad=2048 (per-color-block
-    # padding) — the smallest shape where the bf16 storage policy
-    # (config.resolved_sampler_matmul_dtype: n_pad >= 2048) engages, and
-    # one where the bf16-itemsize gate passes at 128 chains while the old
-    # f32-sized estimate (16.8 MB coupling) bounced it to the HBM kernel
-    full = pegasus_graph(10)
-    latent, _ = select_latent_graph(full, 1600, 0)
+    if args.graph == "grid":
+        import networkx as nx
+
+        latent = nx.grid_2d_graph(45, 45)
+        latent = nx.relabel_nodes(
+            latent, {v: i for i, v in enumerate(sorted(latent.nodes()))}
+        )
+    else:
+        # 1600 of P10 Pegasus's 2160 sites plan to n_pad=2048
+        # (per-color-block padding) — the smallest shape where the bf16
+        # storage policy (config.resolved_sampler_matmul_dtype:
+        # n_pad >= 2048) engages, and one where the bf16-itemsize gate
+        # passes at 128 chains while the old f32-sized estimate (16.8 MB
+        # coupling) bounced it to the HBM kernel
+        full = pegasus_graph(10)
+        latent, _ = select_latent_graph(full, 1600, 0)
     graph = GRBMGraph.from_networkx(latent)
     plan = build_plan(graph)
     print(f"n={graph.n} n_pad={plan.n_pad}")
@@ -110,18 +128,46 @@ def main():
             k, hp, cp_bf16, plan, s, n_sw, matmul_dtype=jnp.bfloat16
         ),
     }
+    occ = None
+    if args.graph == "grid":
+        from image_generation_tpu.ops.block_sparse import (
+            chunk_occupancy,
+            gibbs_sweeps_block_sparse,
+            pack_coupling,
+        )
+
+        occ = {c: round(chunk_occupancy(plan, c), 3) for c in (128, 256)}
+        print(f"chunk occupancy: {occ}")
+        bs128 = pack_coupling(plan, cp_bf16, chunk=128)
+        bs256 = pack_coupling(plan, cp_bf16, chunk=256)
+        variants["xla_bs128_bf16"] = (
+            lambda k, s: gibbs_sweeps_block_sparse(
+                k, hp, bs128, plan, s, n_sw, matmul_dtype=jnp.bfloat16
+            )
+        )
+        variants["pallas_hbm_bs128_bf16"] = (
+            lambda k, s: gibbs_sweeps_pallas_hbm(k, hp, bs128, plan, s, n_sw)
+        )
+        variants["pallas_hbm_bs256_bf16"] = (
+            lambda k, s: gibbs_sweeps_pallas_hbm(k, hp, bs256, plan, s, n_sw)
+        )
     out = {
         "device": str(getattr(dev, "device_kind", dev.platform)),
+        "graph": args.graph,
         "n": graph.n, "n_pad": plan.n_pad, "chains": args.chains,
         "sweeps_per_refresh": args.sweeps, "reps": args.reps,
-        "gate": gate, "ms": {},
+        "gate": gate, "occupancy": occ, "ms": {},
     }
     for name, fn in variants.items():
         key, k = jax.random.split(key)
         out["ms"][name] = round(timed(name, fn, k, s0, args.reps), 3)
 
     Path("runs").mkdir(exist_ok=True)
-    Path("runs/vmem_midsize_bench.json").write_text(json.dumps(out, indent=1))
+    name = (
+        "vmem_midsize_bench.json" if args.graph == "pegasus"
+        else f"vmem_midsize_bench_{args.graph}.json"
+    )
+    Path("runs", name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out["ms"]))
 
 

@@ -306,6 +306,36 @@ def test_auto_gate_small_graph_stays_dense():
     assert "+bs" not in fns.sampler_impl
 
 
+def test_auto_block_sparse_wins_over_vmem_kernel():
+    """At the overlap the resident-dtype VMEM gate opened (low-occupancy
+    n_pad=2048 graphs, where bf16 storage fits VMEM *and* 'auto'
+    block-sparse engages), the packed streaming path must win — measured
+    0.75 vs 0.91 ms/refresh dense-VMEM on chip
+    (runs/vmem_midsize_bench_grid.json; training/step.py selection)."""
+    import networkx as nx
+
+    from image_generation_tpu.config import TrainingConfig
+    from image_generation_tpu.ops.block_sparse import chunk_occupancy
+    from image_generation_tpu.ops.gibbs import build_plan as _bp
+    from image_generation_tpu.ops.gibbs_pallas import supported_by_pallas
+    from image_generation_tpu.training.step import make_train_fns
+
+    g = nx.grid_2d_graph(45, 45)
+    g = nx.relabel_nodes(g, {v: i for i, v in enumerate(sorted(g.nodes()))})
+    graph = GRBMGraph.from_networkx(g)
+    plan = _bp(graph)
+    assert plan.n_pad == 2048  # bf16 storage policy engages here
+    assert chunk_occupancy(plan, 128) <= 0.75  # 'auto' engages too
+    assert supported_by_pallas(plan, 128, coupling_itemsize=2)  # conflict
+    cfg = TrainingConfig(
+        N_LATENTS=graph.n, NUM_READS=128, BATCH_SIZE=4, N_REPLICAS=2,
+        GIBBS_SWEEPS=2, GIBBS_BURN_IN=4, USE_PALLAS="on",
+        SWEEP_BLOCK_SPARSE="auto", SWEEP_BS_CHUNK=128,
+    )
+    fns = make_train_fns(cfg, graph, total_steps=4, plan=plan)
+    assert fns.sampler_impl == "pallas_hbm+bs", fns.sampler_impl
+
+
 def test_config_validation():
     from image_generation_tpu.config import TrainingConfig
 

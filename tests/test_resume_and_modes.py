@@ -279,6 +279,18 @@ def test_resume_continues_at_the_right_epoch(tmp_path):
     assert ran2 == [2]
 
 
+def test_second_train_call_reruns():
+    """train() twice on the SAME (non-resumed) trainer must re-run the
+    epochs — the resume derivation is recorded at resume_native time, never
+    taken from the live opt_step (which would silently no-op the second
+    call, a workflow regression)."""
+    t = Trainer(config=cfg())
+    ran = []
+    t.train(1, epoch_cb=lambda e, stats: ran.append(e))
+    t.train(1, epoch_cb=lambda e, stats: ran.append(e))
+    assert ran == [0, 0]
+
+
 def test_resume_native_rebuilds_for_new_epoch_budget(tmp_path):
     """resume_native on a trainer already initialized for a DIFFERENT
     n_epochs must rebuild the step functions: the LR schedules bake in
