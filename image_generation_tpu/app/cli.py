@@ -93,16 +93,10 @@ def _build_trainer(args, for_load: bool = False, serving_model_dir=None):
         cfg = cfg.replace(QPU=args.qpu)
     if serving_model_dir is not None:
         # generation/serving surface (cmd_generate): at-scale checkpoints
-        # default to the int8 quantized sampler (config.for_serving —
+        # default to the int8 quantized sampler (config.for_serving_dir —
         # quality-neutral per runs/serving_quality_ab.json, +71% request
         # rate); training/tune/refresh surfaces keep training semantics
-        from image_generation_tpu.io.checkpoint import read_parameters
-
-        cfg = cfg.for_serving(
-            int(read_parameters(serving_model_dir).get(
-                "n_latents", cfg.N_LATENTS
-            ))
-        )
+        cfg = cfg.for_serving_dir(serving_model_dir)
     return Trainer(
         qpu=cfg.QPU, config=cfg, mesh=parse_mesh(getattr(args, "mesh", "auto"))
     )

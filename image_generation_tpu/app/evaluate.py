@@ -241,9 +241,11 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if args.dataset_size is None:
-        from image_generation_tpu.utils.data import load_mnist
+        # length-only probe: with real MNIST on disk this reads 8 bytes of
+        # IDX header instead of materializing the 60k pool just for len()
+        from image_generation_tpu.utils.data import mnist_pool_size
 
-        args.dataset_size = min(2048, len(load_mnist(None).images))
+        args.dataset_size = min(2048, mnist_pool_size())
     overrides = (
         {"SAMPLER_MATMUL_DTYPE": args.sampler_matmul_dtype}
         if args.sampler_matmul_dtype

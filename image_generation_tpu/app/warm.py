@@ -190,20 +190,16 @@ class WarmGenerator:
         mp = Path(model_path)
         key = (str(mp.resolve()), (mp / "dvae.pth").stat().st_mtime_ns)
         if self._key != key:
-            from image_generation_tpu.io.checkpoint import read_parameters
-
             cfg = (
                 TrainingConfig.from_yaml(self.params, **self.config_overrides)
                 if self.params
                 else TrainingConfig(**self.config_overrides)
             )
             # serving surface: at-scale models default to the int8
-            # quantized sampler (config.for_serving — quality-neutral by
-            # the image-MMD A/B, +71% request rate); the checkpoint's own
-            # parameters.json tells us the scale before the build
-            cfg = cfg.for_serving(
-                int(read_parameters(mp).get("n_latents", cfg.N_LATENTS))
-            )
+            # quantized sampler (config.for_serving_dir — quality-neutral
+            # by the image-MMD A/B, +71% request rate); same resolution as
+            # the CLI generate path by construction
+            cfg = cfg.for_serving_dir(mp)
             trainer = Trainer(qpu=cfg.QPU, config=cfg, mesh=self.mesh)
             trainer.load(mp)
             self._trainer, self._key = trainer, key

@@ -244,7 +244,19 @@ class TrainingConfig:
         phase keeps exact-dtype semantics; an explicit "float32"/
         "bfloat16"/"int8" is always honored unchanged.
 
-        Called by the serving surfaces only: ``WarmGenerator._trainer_for``
+        Gate semantics: this gate fires on the checkpoint's UNPADDED
+        ``n_latents`` (all parameters.json records pre-build), while the
+        other auto gates (resolved_sampler_matmul_dtype,
+        resolved_block_sparse) use the plan's padded ``n_pad`` — deriving
+        n_pad here would need the full fabric build (~a minute cold,
+        utils/graph_cache.py).  Since padding only rounds UP, the
+        divergence is strictly conservative: a borderline model
+        (n_latents < 2048 ≤ n_pad) keeps exact bf16 serving rather than
+        wrongly quantizing; it can opt in with an explicit
+        ``SAMPLER_MATMUL_DTYPE="int8"``.
+
+        Called by the serving surfaces only — both through the single
+        ``for_serving_dir`` spelling below: ``WarmGenerator._trainer_for``
         (app/warm.py — /api/generate + /api/generate_now) and the CLI
         ``generate`` command (app/cli.py)."""
         if (
@@ -253,6 +265,19 @@ class TrainingConfig:
         ):
             return self.replace(SAMPLER_MATMUL_DTYPE="int8")
         return self
+
+    def for_serving_dir(self, model_dir) -> "TrainingConfig":
+        """``for_serving`` resolved from a checkpoint directory: peeks the
+        scale out of the checkpoint's own ``parameters.json`` (falling back
+        to this config's N_LATENTS).  The one spelling both serving
+        surfaces share — WarmGenerator._trainer_for (app/warm.py) and the
+        CLI ``generate`` command (app/cli.py) must resolve the SAME sampler
+        precision for the same checkpoint."""
+        from image_generation_tpu.io.checkpoint import read_parameters
+
+        return self.for_serving(
+            int(read_parameters(model_dir).get("n_latents", self.N_LATENTS))
+        )
 
     def resolved_sampler_matmul_dtype(self, n_pad: int):
         """The sweep-matmul cast dtype for a graph padded to ``n_pad``:

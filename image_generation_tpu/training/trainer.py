@@ -358,7 +358,11 @@ class Trainer:
         if not self._init_done or self._n_epochs != n_epochs:
             self.train_init(n_epochs)
         if start_epoch is None:
+            # consumed ONCE: the first train() after resume_native continues
+            # where the run died; any later train() on the (now finished)
+            # trainer is a fresh request and must re-run from 0
             start_epoch = getattr(self, "_resume_start_epoch", 0)
+            self._resume_start_epoch = 0
         with profile(profile_dir):
             for epoch in range(start_epoch, n_epochs):
                 t0 = time.perf_counter()

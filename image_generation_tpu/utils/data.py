@@ -52,6 +52,22 @@ def _read_idx(path: Path) -> np.ndarray:
         return np.frombuffer(f.read(), dtype=np.uint8).reshape(dims)
 
 
+def mnist_pool_size() -> int:
+    """Length-only probe of the offline pool ``load_mnist(None)`` would
+    yield: reads just the IDX header when raw MNIST is on disk (the only
+    expensive source — 60k float32 images, ~180 MB materialized), and
+    falls back to loading the small offline sources otherwise.  Startup
+    paths that only need the size (app/evaluate.py's default
+    ``--dataset-size``) use this instead of materializing the pool."""
+    idx = _find("train-images-idx3-ubyte", "train-images-idx3-ubyte.gz")
+    if idx is not None:
+        opener = gzip.open if idx.suffix == ".gz" else open
+        with opener(idx, "rb") as f:
+            f.read(4)  # magic
+            return struct.unpack(">I", f.read(4))[0]  # first dim = N
+    return len(load_mnist(None).images)
+
+
 def _find(*names: str) -> Optional[Path]:
     roots = []
     if os.environ.get("MNIST_DATA_DIR"):

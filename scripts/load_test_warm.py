@@ -172,7 +172,7 @@ def main(argv=None):
         b = 2
         while b <= max(2, n):
             srv.warm._run_group(
-                [_Request(str(dst.resolve()), False) for _ in range(min(b, n))]
+                [_Request(str(dst.resolve())) for _ in range(min(b, n))]
             )
             print(f"warmed bucket {min(b, n)}", file=sys.stderr)
             b *= 2

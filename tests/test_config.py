@@ -107,3 +107,32 @@ def test_parse_overrides():
         TrainingConfig.parse_overrides(["NUM_READS"])
     with pytest.raises(SystemExit, match="not a TrainingConfig field"):
         TrainingConfig.parse_overrides(["NUM_REEDS=4"])
+
+
+def test_for_serving_dir_reads_checkpoint_scale(tmp_path):
+    """for_serving_dir is the ONE spelling both serving surfaces share
+    (WarmGenerator._trainer_for, cli cmd_generate): the gate input comes
+    from the checkpoint's own parameters.json, falling back to the
+    config's N_LATENTS when the key (or file) is absent."""
+    import json
+
+    cfg = TrainingConfig()  # N_LATENTS default is small → 'auto' kept
+    big = tmp_path / "big"
+    big.mkdir()
+    (big / "parameters.json").write_text(json.dumps({"n_latents": 5640}))
+    assert cfg.for_serving_dir(big).SAMPLER_MATMUL_DTYPE == "int8"
+
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "parameters.json").write_text(json.dumps({"n_latents": 256}))
+    assert cfg.for_serving_dir(small).SAMPLER_MATMUL_DTYPE == "auto"
+
+    empty = tmp_path / "empty"  # no parameters.json → config fallback
+    empty.mkdir()
+    assert cfg.for_serving_dir(empty).SAMPLER_MATMUL_DTYPE == "auto"
+    assert (
+        TrainingConfig(N_LATENTS=4096)
+        .for_serving_dir(empty)
+        .SAMPLER_MATMUL_DTYPE
+        == "int8"
+    )

@@ -71,3 +71,32 @@ def test_interleave():
     out = interleave(a, b)
     assert out.shape == (6, 2, 2)
     assert out[0].sum() == 0 and out[1].sum() == 4
+
+
+def test_mnist_pool_size_idx_header_probe(tmp_path, monkeypatch):
+    """mnist_pool_size must read ONLY the IDX header when raw MNIST is on
+    disk (app/evaluate.py's startup length probe — the 60k float32 pool
+    must not be materialized for a len()), and match load_mnist's view of
+    the same files."""
+    import gzip
+    import struct
+
+    from image_generation_tpu.utils.data import mnist_pool_size
+
+    n = 7
+    imgs = np.arange(n * 28 * 28, dtype=np.uint8).reshape(n, 28, 28)
+    header = struct.pack(">I", 0x00000803) + struct.pack(">III", n, 28, 28)
+    with gzip.open(tmp_path / "train-images-idx3-ubyte.gz", "wb") as f:
+        f.write(header + imgs.tobytes())
+    monkeypatch.setenv("MNIST_DATA_DIR", str(tmp_path))
+    assert mnist_pool_size() == n
+    assert load_mnist(None).images.shape == (n, 28, 28)
+
+
+def test_mnist_pool_size_fallback_matches_loader(monkeypatch):
+    """Without IDX files the probe falls back to the small offline source —
+    its answer must equal what load_mnist(None) actually yields."""
+    from image_generation_tpu.utils.data import mnist_pool_size
+
+    monkeypatch.delenv("MNIST_DATA_DIR", raising=False)
+    assert mnist_pool_size() == len(load_mnist(None).images)

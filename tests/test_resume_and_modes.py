@@ -271,6 +271,12 @@ def test_resume_continues_at_the_right_epoch(tmp_path):
     ran = []
     t2.train(3, epoch_cb=lambda e, stats: ran.append(e))
     assert ran == [1, 2]  # epoch 0 is NOT re-run
+    # the resume hint is consumed ONCE: a second train() on the now-finished
+    # trainer is a fresh request and must re-run from 0, not silently start
+    # at the restored epoch again (2-of-3-epoch partial run)
+    ran_again = []
+    t2.train(3, epoch_cb=lambda e, stats: ran_again.append(e))
+    assert ran_again == [0, 1, 2]
     # explicit override still honored
     ran2 = []
     t3 = Trainer(config=cfg())
