@@ -260,6 +260,28 @@ class WarmGenerator:
         return {"grid": make_grid(out, nrow=16), "images": out,
                 "batched": batched}
 
+    def warm_buckets(self, model_path, max_concurrency: int) -> list:
+        """Pre-compile (and warm-execute) the fused serving executable for
+        every power-of-two bucket a burst of up to ``max_concurrency``
+        concurrent requests can land in (``_run_group`` pads group size to
+        the next power of two, so those are the only shapes that exist).
+
+        Deployment surface: call before opening traffic so no bucket
+        compiles (60-150 s through the remote relay) inside a served burst
+        — the load test (scripts/load_test_warm.py) warms through this
+        before its timed section.  Returns the group sizes warmed."""
+        cap = 1
+        while cap < max(1, max_concurrency):
+            cap *= 2
+        sizes, b = [], 1
+        while b <= cap:
+            self._run_group(
+                [_Request(str(Path(model_path).resolve())) for _ in range(b)]
+            )
+            sizes.append(b)
+            b *= 2
+        return sizes
+
     def _run_group(self, group) -> None:
         """Serve ``group`` (same model) through ONE fused device dispatch.
 

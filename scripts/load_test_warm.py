@@ -167,15 +167,8 @@ def main(argv=None):
         # can catch any prefix of a burst — an intermediate bucket compiling
         # inside the timed region would bill a 60-150 s relay compile as
         # serving latency)
-        from image_generation_tpu.app.warm import _Request
-
-        b = 2
-        while b <= max(2, n):
-            srv.warm._run_group(
-                [_Request(str(dst.resolve())) for _ in range(min(b, n))]
-            )
-            print(f"warmed bucket {min(b, n)}", file=sys.stderr)
-            b *= 2
+        for b in srv.warm.warm_buckets(dst, n):
+            print(f"warmed bucket {b}", file=sys.stderr)
         report = {
             "what": "threaded-client load test of the coalescing warm "
                     "serving (app/warm.py): serve() surface gates PASS; "

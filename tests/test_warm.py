@@ -273,3 +273,30 @@ def test_cli_generate_applies_serving_default(tmp_path, monkeypatch):
     monkeypatch.setattr(config_mod, "SERVING_INT8_MIN_LATENTS", 2048)
     tr2 = _build_trainer(Args(), for_load=True, serving_model_dir=mdir)
     assert tr2.config.SAMPLER_MATMUL_DTYPE == "int8"
+
+
+def test_warm_buckets_compiles_every_power_of_two(tmp_path, monkeypatch):
+    """warm_buckets must drive _run_group once per power-of-two group size
+    up to (the padded bucket of) max_concurrency — the pre-traffic compile
+    warm-up the load test relies on; an intermediate bucket compiling
+    inside a timed burst would bill a 60-150 s relay compile as serving
+    latency (scripts/load_test_warm.py)."""
+    from image_generation_tpu.app.warm import WarmGenerator
+
+    w = WarmGenerator(tmp_path)
+    sizes, models = [], set()
+
+    def fake_run_group(group):
+        sizes.append(len(group))
+        models.update(r.group for r in group)
+        for r in group:
+            r.result = (None, len(group))
+
+    monkeypatch.setattr(w, "_run_group", fake_run_group)
+    assert w.warm_buckets("model_a", 6) == [1, 2, 4, 8]
+    assert sizes == [1, 2, 4, 8]  # 6 pads to bucket 8; every prefix warmed
+    assert len(models) == 1  # one model per warm-up
+    # a lone-caller deployment still warms the singleton bucket
+    sizes.clear()
+    assert w.warm_buckets("model_a", 0) == [1]
+    assert sizes == [1]
